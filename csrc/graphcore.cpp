@@ -1,0 +1,128 @@
+// graphcore — native host-side graph data engine for gat_pytorch_tpu.
+//
+// TPU-native counterpart of the C++/CUDA data machinery the reference leans
+// on (torch-scatter / torch-sparse wheels + PyG DataLoader batching; see
+// reference env/gat_req_mac_version.yml and models/GATModel.py:273-287).
+// The TPU does the math; this library owns the host data path that feeds it:
+// self-loop canonicalisation, destination stable-sort (counting sort, O(E)),
+// CSR offset construction, block-diagonal batching, and uniform neighbour
+// sampling — all operating on raw int64/float32 buffers exposed via ctypes
+// (no pybind11 in this image).
+//
+// Build: make -C csrc   (produces gat_pytorch_tpu/graph/_graphcore.so)
+
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <vector>
+
+extern "C" {
+
+// Drop existing self-loops, append one (i,i) per node.
+// in:  senders/receivers length e, num_nodes n
+// out: out_senders/out_receivers, capacity >= e + n. Returns new edge count.
+int64_t gc_add_remaining_self_loops(const int64_t* senders,
+                                    const int64_t* receivers,
+                                    int64_t e, int64_t n,
+                                    int64_t* out_senders,
+                                    int64_t* out_receivers) {
+  int64_t k = 0;
+  for (int64_t i = 0; i < e; ++i) {
+    if (senders[i] != receivers[i]) {
+      out_senders[k] = senders[i];
+      out_receivers[k] = receivers[i];
+      ++k;
+    }
+  }
+  for (int64_t v = 0; v < n; ++v) {
+    out_senders[k] = v;
+    out_receivers[k] = v;
+    ++k;
+  }
+  return k;
+}
+
+// Stable counting-sort of edges by receiver. O(E + N).
+// num_nodes must be > max(receivers). Outputs sorted (senders, receivers)
+// and the permutation applied (for reordering edge attributes host-side).
+void gc_sort_by_destination(const int64_t* senders, const int64_t* receivers,
+                            int64_t e, int64_t n,
+                            int64_t* out_senders, int64_t* out_receivers,
+                            int64_t* out_perm) {
+  std::vector<int64_t> count(static_cast<size_t>(n) + 1, 0);
+  for (int64_t i = 0; i < e; ++i) count[receivers[i] + 1]++;
+  for (int64_t v = 0; v < n; ++v) count[v + 1] += count[v];
+  for (int64_t i = 0; i < e; ++i) {
+    int64_t pos = count[receivers[i]]++;
+    out_senders[pos] = senders[i];
+    out_receivers[pos] = receivers[i];
+    out_perm[pos] = i;
+  }
+}
+
+// CSR row offsets from a dst-sorted receiver array. out has n+1 entries.
+void gc_csr_offsets(const int64_t* receivers, int64_t e, int64_t n,
+                    int64_t* out_offsets) {
+  std::memset(out_offsets, 0, sizeof(int64_t) * (n + 1));
+  for (int64_t i = 0; i < e; ++i) out_offsets[receivers[i] + 1]++;
+  for (int64_t v = 0; v < n; ++v) out_offsets[v + 1] += out_offsets[v];
+}
+
+// Block-diagonal batching of g graphs (the reference's PyG DataLoader
+// collation, models/GATModel.py:273-287): offsets node ids of graph i by
+// sum of previous graphs' node counts. Inputs are the concatenated edge
+// lists plus per-graph (node_count, edge_count). Writes offset edge ids and
+// per-node graph ids.
+void gc_block_diagonal(const int64_t* senders, const int64_t* receivers,
+                       const int64_t* node_counts, const int64_t* edge_counts,
+                       int64_t num_graphs,
+                       int64_t* out_senders, int64_t* out_receivers,
+                       int64_t* out_graph_ids) {
+  int64_t node_off = 0, edge_off = 0;
+  for (int64_t gi = 0; gi < num_graphs; ++gi) {
+    const int64_t ne = edge_counts[gi];
+    for (int64_t i = 0; i < ne; ++i) {
+      out_senders[edge_off + i] = senders[edge_off + i] + node_off;
+      out_receivers[edge_off + i] = receivers[edge_off + i] + node_off;
+    }
+    const int64_t nn = node_counts[gi];
+    for (int64_t v = 0; v < nn; ++v) out_graph_ids[node_off + v] = gi;
+    node_off += nn;
+    edge_off += ne;
+  }
+}
+
+// Uniform neighbour sampling: for each seed node, sample up to k in-edges
+// (with replacement if degree > 0 and degree < k sampling is without
+// replacement — we take all). Operates on the CSR (offsets, senders) view.
+// out_src/out_dst have capacity num_seeds*k; returns number written.
+int64_t gc_sample_neighbors(const int64_t* offsets, const int64_t* senders,
+                            const int64_t* seeds, int64_t num_seeds,
+                            int64_t k, uint64_t seed,
+                            int64_t* out_src, int64_t* out_dst) {
+  std::mt19937_64 rng(seed);
+  int64_t w = 0;
+  for (int64_t s = 0; s < num_seeds; ++s) {
+    const int64_t v = seeds[s];
+    const int64_t lo = offsets[v], hi = offsets[v + 1];
+    const int64_t deg = hi - lo;
+    if (deg <= 0) continue;
+    if (deg <= k) {
+      for (int64_t i = lo; i < hi; ++i) {
+        out_src[w] = senders[i];
+        out_dst[w] = v;
+        ++w;
+      }
+    } else {
+      std::uniform_int_distribution<int64_t> dist(0, deg - 1);
+      for (int64_t i = 0; i < k; ++i) {
+        out_src[w] = senders[lo + dist(rng)];
+        out_dst[w] = v;
+        ++w;
+      }
+    }
+  }
+  return w;
+}
+
+}  // extern "C"

@@ -1,0 +1,127 @@
+"""Immutable, statically-shaped graph container (a JAX pytree).
+
+TPU-first replacement for the reference's PyG `Data`/`Batch` objects
+(reference: models/GATModel.py:120-121 reads `data.x, data.edge_index`).
+
+Invariants every `Graph` carries (established by graph/transforms.py,
+enforced by `Graph.validate()`):
+  * edges are COO `(src, dst)` **sorted by dst ascending** (stable), so all
+    segment reductions run with `indices_are_sorted=True` and an edge
+    partition by dst-range is a contiguous slice;
+  * arrays are padded to static bucket sizes: `node_mask` / `edge_mask` mark
+    real entries. Padding edges carry `src = dst = num_nodes_padded - 1`
+    *and* `edge_mask=False`, so even unmasked reductions only corrupt the
+    final padding node;
+  * self-loop canonicalisation (reference semantics, models/utils.py:47-67:
+    drop existing (i,i), append one loop per real node) happens in
+    preprocessing, never inside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["x", "senders", "receivers", "edge_mask", "node_mask",
+                      "y", "train_mask", "val_mask", "test_mask", "graph_ids"],
+         meta_fields=["num_nodes", "num_edges"])
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """One (possibly block-diagonal-batched) padded graph.
+
+    x:          (N_pad, F) node features.
+    senders:    (E_pad,) int32 source node per edge.
+    receivers:  (E_pad,) int32 destination node per edge, sorted ascending.
+    edge_mask:  (E_pad,) bool, True for real edges.
+    node_mask:  (N_pad,) bool, True for real nodes.
+    y:          labels — (N_pad,) int32 for single-label tasks or
+                (N_pad, C) float for multi-label (PPI).
+    train/val/test_mask: (N_pad,) bool or None (transductive splits;
+                reference: planetoid_gat.py:27,35,50).
+    graph_ids:  (N_pad,) int32 component id after batching (0 if unbatched).
+    num_nodes / num_edges: static (python int) padded sizes — pytree metadata,
+                part of the jit cache key.
+    """
+    x: jax.Array
+    senders: jax.Array
+    receivers: jax.Array
+    edge_mask: jax.Array
+    node_mask: jax.Array
+    y: Optional[jax.Array]
+    train_mask: Optional[jax.Array]
+    val_mask: Optional[jax.Array]
+    test_mask: Optional[jax.Array]
+    graph_ids: Optional[jax.Array]
+    num_nodes: int
+    num_edges: int
+
+    # -- convenience -------------------------------------------------------
+    @property
+    def edge_index(self) -> jax.Array:
+        """(2, E_pad) stacked [senders; receivers] — reference edge layout
+        (edge points row0 -> row1; softmax groups by row1)."""
+        return jnp.stack([self.senders, self.receivers])
+
+    @property
+    def num_real_nodes(self) -> jax.Array:
+        return jnp.sum(self.node_mask)
+
+    @property
+    def num_real_edges(self) -> jax.Array:
+        return jnp.sum(self.edge_mask)
+
+    def replace(self, **kw) -> "Graph":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> None:
+        """Host-side invariant check (not for use inside jit)."""
+        recv = np.asarray(self.receivers)
+        send = np.asarray(self.senders)
+        emask = np.asarray(self.edge_mask)
+        assert self.x.shape[0] == self.num_nodes, "x/node padding mismatch"
+        assert recv.shape == (self.num_edges,)
+        assert (np.diff(recv) >= 0).all(), "receivers must be dst-sorted"
+        assert (send < self.num_nodes).all() and (send >= 0).all()
+        pad = ~emask
+        if pad.any():
+            assert (recv[pad] == self.num_nodes - 1).all(), \
+                "padding edges must target the last (padding) node"
+
+
+def from_numpy(x: np.ndarray,
+               senders: np.ndarray,
+               receivers: np.ndarray,
+               *,
+               y: Optional[np.ndarray] = None,
+               train_mask: Optional[np.ndarray] = None,
+               val_mask: Optional[np.ndarray] = None,
+               test_mask: Optional[np.ndarray] = None,
+               edge_mask: Optional[np.ndarray] = None,
+               node_mask: Optional[np.ndarray] = None,
+               graph_ids: Optional[np.ndarray] = None) -> Graph:
+    """Wrap host arrays (already canonicalised/padded) into a Graph."""
+    n, e = int(x.shape[0]), int(senders.shape[0])
+    if edge_mask is None:
+        edge_mask = np.ones(e, dtype=bool)
+    if node_mask is None:
+        node_mask = np.ones(n, dtype=bool)
+    if graph_ids is None:
+        graph_ids = np.zeros(n, dtype=np.int32)
+    to = jnp.asarray
+    return Graph(
+        x=to(x), senders=to(senders.astype(np.int32)),
+        receivers=to(receivers.astype(np.int32)),
+        edge_mask=to(edge_mask), node_mask=to(node_mask),
+        y=None if y is None else to(y),
+        train_mask=None if train_mask is None else to(train_mask),
+        val_mask=None if val_mask is None else to(val_mask),
+        test_mask=None if test_mask is None else to(test_mask),
+        graph_ids=to(graph_ids),
+        num_nodes=n, num_edges=e)

@@ -1,0 +1,335 @@
+"""GAT layer and model stack — functional JAX, params as plain pytrees.
+
+Re-implements the semantics of the reference layer/model
+(reference: models/gat_layer.py:42-140, models/GATModel.py:120-151)
+as a TPU-first pipeline:
+
+    GEMM (MXU) -> node-score GEMM (MXU) -> edge gather-add (SDDMM)
+    -> masked segment softmax -> SpMM (gather * alpha, sorted segment sum)
+
+The headline algebraic rewrite: the reference applies its attention map
+`a` (a cross-head Linear, reference models/gat_layer.py:31) to the edge
+tensor concat([h_src, h_dst]) of shape (E, NH*2F). A linear map on a
+concatenation is the sum of linear maps on the halves, so we precompute
+node scores  s_src = h @ A_src  and  s_dst = h @ A_dst  (two (N, NH*F) x
+(NH*F, NH) MXU matmuls) and form per-edge logits as
+`s_src[senders] + s_dst[receivers]` — bit-identical math, O(N) instead of
+O(E) matmul rows, and the (E, NH, 2F) intermediate never exists.
+
+Reference quirks are preserved behind `paper_faithful=False` (the default,
+matching the reference checkpoints):
+  * cross-head `a` (each head's logit mixes all heads' features);
+  * a *global* max-cap applied to raw logits BEFORE LeakyReLU
+    (reference models/gat_layer.py:84-85, added to stop PPI divergence);
+  * LeakyReLU negative slope 0.01 (torch default; paper uses 0.2);
+  * softmax denominator + 1e-8, no per-segment max subtraction.
+`paper_faithful=True` gives the paper's formulation: per-head `a`,
+slope 0.2, per-segment max subtraction, no global cap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.graph import Graph
+from ..ops import segment as seg
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class GATLayerConfig:
+    in_features: int
+    out_features: int
+    num_heads: int
+    concat: bool
+    dropout: float = 0.0
+    bias: bool = False
+    const_attention: bool = False
+    paper_faithful: bool = False
+    negative_slope: Optional[float] = None  # default depends on faithfulness
+
+    @property
+    def slope(self) -> float:
+        if self.negative_slope is not None:
+            return self.negative_slope
+        return 0.2 if self.paper_faithful else 0.01
+
+
+def _xavier_uniform(key, shape, fan_in, fan_out, dtype=jnp.float32):
+    limit = (6.0 / (fan_in + fan_out)) ** 0.5
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def init_gat_layer(key: jax.Array, cfg: GATLayerConfig) -> Params:
+    """Parameter layout (stored (in, out) for right-multiplication; the
+    Lightning importer transposes torch's (out, in) weights):
+      W: (F_in, NH*F_out)
+      a: (NH*2F, NH) cross-head (reference) or (NH, 2F) per-head (faithful)
+    """
+    k_w, k_a = jax.random.split(key)
+    nh, f = cfg.num_heads, cfg.out_features
+    params: Params = {
+        "W": _xavier_uniform(k_w, (cfg.in_features, nh * f),
+                             cfg.in_features, nh * f)
+    }
+    if not cfg.const_attention:
+        if cfg.paper_faithful:
+            params["a"] = _xavier_uniform(k_a, (nh, 2 * f), 2 * f, 1)
+        else:
+            params["a"] = _xavier_uniform(k_a, (nh * 2 * f, nh),
+                                          nh * 2 * f, nh)
+    if cfg.bias:
+        params["bias"] = jnp.zeros((nh * f,), jnp.float32)
+    return params
+
+
+def _split_attention_map(a: jax.Array, nh: int, f: int
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Split the cross-head map (NH*2F, NH) into source/destination halves
+    (NH*F, NH) each. Row head*2F + j maps src feature j of that head when
+    j < F, else dst feature j-F (layout from the reference's
+    view(E, NH*2F) of concat([src, dst], axis=-1))."""
+    a4 = a.reshape(nh, 2, f, -1)
+    a_src = a4[:, 0].reshape(nh * f, -1)
+    a_dst = a4[:, 1].reshape(nh * f, -1)
+    return a_src, a_dst
+
+
+def gat_layer_apply(params: Params,
+                    cfg: GATLayerConfig,
+                    x: jax.Array,
+                    senders: jax.Array,
+                    receivers: jax.Array,
+                    edge_mask: jax.Array,
+                    num_nodes: int,
+                    *,
+                    rng: Optional[jax.Array] = None,
+                    training: bool = False,
+                    return_attention: bool = False):
+    """One GAT layer forward. Graph must be canonicalised (self-loops added,
+    dst-sorted, padded — graph/transforms.canonicalize)."""
+    nh, f = cfg.num_heads, cfg.out_features
+    E = senders.shape[0]
+
+    # (1) feature transform on MXU — reference models/gat_layer.py:64-65
+    h_flat = jnp.dot(x, params["W"], preferred_element_type=jnp.float32)
+    h = h_flat.reshape(num_nodes, nh, f)
+
+    # (2) edge logits (SDDMM) — reference :70-92, decomposed to node scores
+    if cfg.const_attention:
+        logits = jnp.zeros((E, nh), dtype=h_flat.dtype)
+    else:
+        if cfg.paper_faithful:
+            # per-head a = [a_l || a_r]: score_src[n,h] = h[n,h,:] . a[h,:F]
+            a_l = params["a"][:, :f]   # (NH, F)
+            a_r = params["a"][:, f:]
+            s_src = jnp.einsum("nhf,hf->nh", h, a_l)
+            s_dst = jnp.einsum("nhf,hf->nh", h, a_r)
+        else:
+            a_src, a_dst = _split_attention_map(params["a"], nh, f)
+            s_src = jnp.dot(h_flat, a_src,
+                            preferred_element_type=jnp.float32)
+            s_dst = jnp.dot(h_flat, a_dst,
+                            preferred_element_type=jnp.float32)
+        logits = (seg.gather_rows(s_src, senders)
+                  + seg.gather_rows(s_dst, receivers))        # (E, NH)
+        if not cfg.paper_faithful:
+            # global max-cap BEFORE LeakyReLU — reference :84-85
+            masked = jnp.where(edge_mask[:, None], logits, -jnp.inf)
+            logits = logits - jnp.max(masked)
+        logits = jax.nn.leaky_relu(logits, negative_slope=cfg.slope)
+
+    # (3) segment softmax over in-neighbourhoods — reference :96-109
+    alpha = seg.segment_softmax(
+        logits, receivers, num_nodes, edge_mask=edge_mask,
+        eps=0.0 if cfg.paper_faithful else 1e-8,
+        subtract_segment_max=cfg.paper_faithful)
+
+    # (4) attention dropout — reference :113-115
+    alpha_drop = alpha
+    if training and cfg.dropout > 0.0:
+        if rng is None:
+            raise ValueError("rng required for attention dropout")
+        keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, alpha.shape)
+        alpha_drop = jnp.where(keep, alpha / (1.0 - cfg.dropout), 0.0)
+
+    # (5) SpMM: gather src features, weight, sorted segment-sum by dst
+    #     — reference :119-127
+    src_feats = seg.gather_rows(h, senders)                   # (E, NH, F)
+    weighted = src_feats * alpha_drop[:, :, None]
+    out = seg.segment_sum(weighted, receivers, num_nodes)     # (N, NH, F)
+
+    # (6) head combine — reference :129-132
+    if cfg.concat:
+        out = out.reshape(num_nodes, nh * f)
+    else:
+        out = jnp.mean(out, axis=1)
+
+    if cfg.bias:
+        out = out + params["bias"]
+
+    if return_attention:
+        return out, alpha
+    return out
+
+
+# --------------------------------------------------------------------------
+# Model stack (reference models/GATModel.py:20-151)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class GATConfig:
+    """Mirrors the reference hyperparameter surface
+    (reference run_config.py:17-98 / models/GATModel.py:20-62)."""
+    num_input_node_features: int
+    num_layers: int
+    num_heads_per_layer: Sequence[int]            # per layer, len == num_layers
+    heads_concat_per_layer: Sequence[bool]
+    head_output_features_per_layer: Sequence[int]  # len == num_layers + 1
+    num_classes: int
+    add_skip_connection: Sequence[bool]
+    dropout: float = 0.0
+    const_attention: bool = False
+    paper_faithful: bool = False
+
+    def layer_configs(self) -> List[GATLayerConfig]:
+        heads = [1] + list(self.num_heads_per_layer)  # reference :57
+        cfgs = []
+        for i in range(self.num_layers):
+            cfgs.append(GATLayerConfig(
+                in_features=heads[i] * self.head_output_features_per_layer[i],
+                out_features=self.head_output_features_per_layer[i + 1],
+                num_heads=heads[i + 1],
+                concat=self.heads_concat_per_layer[i],
+                dropout=self.dropout,
+                bias=False,
+                const_attention=self.const_attention,
+                paper_faithful=self.paper_faithful))
+        return cfgs
+
+    def skip_dims(self) -> List[Optional[Tuple[int, int]]]:
+        """Per layer: None if no skip; (in, out) dims of the projection,
+        in == out meaning Identity (reference models/GATModel.py:97-112)."""
+        heads = [1] + list(self.num_heads_per_layer)
+        dims: List[Optional[Tuple[int, int]]] = []
+        for i in range(self.num_layers):
+            if not self.add_skip_connection[i]:
+                dims.append(None)
+                continue
+            skip_in = heads[i] * self.head_output_features_per_layer[i]
+            skip_out = heads[i + 1] * self.head_output_features_per_layer[i + 1]
+            dims.append((skip_in, skip_out))
+        return dims
+
+
+def init_gat_model(key: jax.Array, cfg: GATConfig) -> Params:
+    layer_cfgs = cfg.layer_configs()
+    keys = jax.random.split(key, 2 * cfg.num_layers)
+    params: Params = {"layers": [], "skips": []}
+    for i, lc in enumerate(layer_cfgs):
+        params["layers"].append(init_gat_layer(keys[2 * i], lc))
+    for i, dims in enumerate(cfg.skip_dims()):
+        if dims is None:
+            continue
+        skip_in, skip_out = dims
+        if skip_in == skip_out:
+            params["skips"].append({})           # Identity
+        else:
+            # torch Linear default init: kaiming_uniform(a=sqrt(5)) ==
+            # U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+            lim = 1.0 / (skip_in ** 0.5)
+            params["skips"].append({
+                "w": jax.random.uniform(keys[2 * i + 1],
+                                        (skip_in, skip_out),
+                                        jnp.float32, -lim, lim)})
+    return params
+
+
+def _dropout(x, rate, rng, training):
+    if not training or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def gat_model_apply(params: Params,
+                    cfg: GATConfig,
+                    graph: Graph,
+                    *,
+                    rng: Optional[jax.Array] = None,
+                    training: bool = False,
+                    return_attention: bool = False):
+    """Full stack: [input dropout -> layer -> skip -> ELU(between)] xL.
+    Reference: models/GATModel.py:120-151 (forward) and :153-187
+    (forward_and_return_attention — same path, attention captured)."""
+    layer_cfgs = cfg.layer_configs()
+    skip_dims = cfg.skip_dims()
+    heads = [1] + list(cfg.num_heads_per_layer)
+    x = graph.x
+    attention: List[jax.Array] = []
+    skip_count = 0
+    n_layers = cfg.num_layers
+    if training and cfg.dropout > 0.0 and rng is None:
+        raise ValueError(
+            "gat_model_apply(training=True) with dropout > 0 requires `rng`")
+    rngs = (jax.random.split(rng, 2 * n_layers)
+            if rng is not None else [None] * (2 * n_layers))
+
+    for i in range(n_layers):
+        layer_input = x
+        x = _dropout(x, cfg.dropout, rngs[2 * i], training)
+        out = gat_layer_apply(
+            params["layers"][i], layer_cfgs[i], x,
+            graph.senders, graph.receivers, graph.edge_mask, graph.num_nodes,
+            rng=rngs[2 * i + 1], training=training,
+            return_attention=return_attention)
+        if return_attention:
+            x, alpha = out
+            attention.append(alpha)
+        else:
+            x = out
+
+        if skip_dims[i] is not None:
+            skip_p = params["skips"][skip_count]
+            skip_count += 1
+            skip_out = (layer_input if "w" not in skip_p
+                        else jnp.dot(layer_input, skip_p["w"],
+                                     preferred_element_type=jnp.float32))
+            if cfg.heads_concat_per_layer[i]:
+                x = x + skip_out
+            else:
+                # mean-fold the projection over heads — reference :141-145
+                skip_out = skip_out.reshape(
+                    -1, heads[i + 1], cfg.head_output_features_per_layer[i + 1])
+                x = x + jnp.mean(skip_out, axis=1)
+
+        if i != n_layers - 1:
+            x = jax.nn.elu(x)
+
+    if return_attention:
+        return x, attention
+    return x
+
+
+def calc_attention_norm(graph: Graph,
+                        attention: Sequence[jax.Array]) -> jax.Array:
+    """Attention regulariser: mean over layers of ||alpha*deg - 1||_1 / E
+    (reference models/GATModel.py:189-234). Only real edges contribute;
+    E is the real edge count (reference divides by the full edge count —
+    identical here since reference graphs have no padding)."""
+    recv = graph.receivers
+    emask = graph.edge_mask
+    degrees = seg.in_degree(recv, graph.num_nodes, edge_mask=emask)
+    deg_per_edge = seg.gather_rows(degrees, recv)          # (E,)
+    e_real = jnp.maximum(jnp.sum(emask.astype(jnp.float32)), 1.0)
+    total = jnp.float32(0.0)
+    for alpha in attention:
+        unnorm = alpha * deg_per_edge[:, None]
+        dev = jnp.abs(unnorm - 1.0) * emask[:, None]
+        total = total + jnp.sum(dev) / e_real
+    return total / jnp.float32(len(attention))

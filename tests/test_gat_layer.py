@@ -1,0 +1,185 @@
+"""GAT layer/model parity vs the numpy oracle (tests/reference_math.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gat_pytorch_tpu.data.synthetic import make_random_graph
+from gat_pytorch_tpu.graph import transforms as T
+from gat_pytorch_tpu.models import gat
+from tests import reference_math as ref
+
+
+def _setup(seed=0, n=80, deg=4.0, f_in=16, nh=4, f_out=8):
+    g = make_random_graph(seed, n, deg, f_in)
+    # oracle operates on unpadded, self-looped, dst-sorted edges
+    s, r = T.add_remaining_self_loops(g.senders, g.receivers, n)
+    s, r = T.sort_by_destination(s, r)
+    graph = T.canonicalize(g.x, g.senders, g.receivers, y=g.y)
+    rng = np.random.default_rng(seed + 99)
+    W_t = rng.standard_normal((nh * f_out, f_in)).astype(np.float32) * 0.2
+    a_t = rng.standard_normal((nh, nh * 2 * f_out)).astype(np.float32) * 0.2
+    return g, s, r, graph, W_t, a_t
+
+
+@pytest.mark.parametrize("concat", [True, False])
+def test_layer_matches_oracle_reference_mode(concat):
+    n, f_in, nh, f_out = 80, 16, 4, 8
+    g, s, r, graph, W_t, a_t = _setup(concat, n=n, f_in=f_in, nh=nh,
+                                      f_out=f_out)
+    want, want_alpha = ref.ref_gat_layer(
+        g.x, s, r, W_t, a_t, num_heads=nh, out_features=f_out, concat=concat)
+
+    cfg = gat.GATLayerConfig(in_features=f_in, out_features=f_out,
+                             num_heads=nh, concat=concat)
+    params = {"W": jnp.asarray(W_t.T), "a": jnp.asarray(a_t.T)}
+    got, alpha = gat.gat_layer_apply(
+        params, cfg, graph.x, graph.senders, graph.receivers,
+        graph.edge_mask, graph.num_nodes, return_attention=True)
+
+    np.testing.assert_allclose(np.asarray(got)[:n], want,
+                               rtol=2e-4, atol=2e-5)
+    # attention coeffs compare as multisets per (dst, head): our edge order
+    # is the same dst-sorted order as the oracle's
+    np.testing.assert_allclose(np.asarray(alpha)[:len(s)], want_alpha,
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_layer_matches_oracle_paper_faithful():
+    n, f_in, nh, f_out = 60, 12, 3, 8
+    g = make_random_graph(7, n, 5.0, f_in)
+    s, r = T.add_remaining_self_loops(g.senders, g.receivers, n)
+    s, r = T.sort_by_destination(s, r)
+    graph = T.canonicalize(g.x, g.senders, g.receivers)
+    rng = np.random.default_rng(3)
+    W_t = rng.standard_normal((nh * f_out, f_in)).astype(np.float32) * 0.3
+    a = rng.standard_normal((nh, 2 * f_out)).astype(np.float32) * 0.3
+    want, _ = ref.ref_gat_layer(g.x, s, r, W_t, a, num_heads=nh,
+                                out_features=f_out, concat=True,
+                                paper_faithful=True)
+    cfg = gat.GATLayerConfig(in_features=f_in, out_features=f_out,
+                             num_heads=nh, concat=True, paper_faithful=True)
+    params = {"W": jnp.asarray(W_t.T), "a": jnp.asarray(a)}
+    got = gat.gat_layer_apply(params, cfg, graph.x, graph.senders,
+                              graph.receivers, graph.edge_mask,
+                              graph.num_nodes)
+    np.testing.assert_allclose(np.asarray(got)[:n], want, rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_const_attention_is_uniform():
+    n = 40
+    g = make_random_graph(5, n, 4.0, 8)
+    graph = T.canonicalize(g.x, g.senders, g.receivers)
+    cfg = gat.GATLayerConfig(in_features=8, out_features=4, num_heads=2,
+                             concat=True, const_attention=True)
+    params = gat.init_gat_layer(jax.random.key(0), cfg)
+    assert "a" not in params
+    _, alpha = gat.gat_layer_apply(
+        params, cfg, graph.x, graph.senders, graph.receivers,
+        graph.edge_mask, graph.num_nodes, return_attention=True)
+    # every real edge's alpha == 1/deg(dst)
+    a = np.asarray(alpha)
+    recv = np.asarray(graph.receivers)
+    emask = np.asarray(graph.edge_mask)
+    deg = np.bincount(recv[emask], minlength=graph.num_nodes)
+    want = np.broadcast_to(1.0 / (deg[recv[emask]][:, None] + 1e-8),
+                           a[emask].shape)
+    np.testing.assert_allclose(a[emask], want, rtol=1e-5)
+
+
+def test_model_stack_matches_oracle_with_skips():
+    """2-layer stack with a projected skip on layer 0 and identity-mean skip
+    semantics on layer 1 (mean head combine)."""
+    n, f_in = 50, 10
+    g = make_random_graph(11, n, 4.0, f_in)
+    s, r = T.add_remaining_self_loops(g.senders, g.receivers, n)
+    s, r = T.sort_by_destination(s, r)
+    graph = T.canonicalize(g.x, g.senders, g.receivers)
+
+    cfg = gat.GATConfig(
+        num_input_node_features=f_in, num_layers=2,
+        num_heads_per_layer=[4, 2], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[f_in, 6, 5], num_classes=5,
+        add_skip_connection=[True, True], dropout=0.0)
+    params = gat.init_gat_model(jax.random.key(0), cfg)
+
+    lp = []
+    for i, lc in enumerate(cfg.layer_configs()):
+        lp.append({"W": np.asarray(params["layers"][i]["W"]).T,
+                   "a": np.asarray(params["layers"][i]["a"]).T})
+    lcfgs = [dict(num_heads=lc.num_heads, out_features=lc.out_features,
+                  concat=lc.concat) for lc in cfg.layer_configs()]
+    sp = [None if "w" not in p else np.asarray(p["w"]).T
+          for p in params["skips"]]
+    want, want_att = ref.ref_gat_model(
+        g.x, s, r, lp, lcfgs, sp, [True, True], [True, False],
+        heads=[1, 4, 2], feats=[f_in, 6, 5])
+
+    got, att = gat.gat_model_apply(params, cfg, graph,
+                                   return_attention=True)
+    np.testing.assert_allclose(np.asarray(got)[:n], want, rtol=3e-4,
+                               atol=3e-5)
+    assert len(att) == 2
+
+
+def test_attention_norm_matches_manual():
+    n = 30
+    g = make_random_graph(13, n, 3.0, 6)
+    graph = T.canonicalize(g.x, g.senders, g.receivers)
+    cfg = gat.GATConfig(
+        num_input_node_features=6, num_layers=1, num_heads_per_layer=[2],
+        heads_concat_per_layer=[True], head_output_features_per_layer=[6, 4],
+        num_classes=4, add_skip_connection=[False], dropout=0.0)
+    params = gat.init_gat_model(jax.random.key(1), cfg)
+    _, att = gat.gat_model_apply(params, cfg, graph, return_attention=True)
+    norm = gat.calc_attention_norm(graph, att)
+
+    a = np.asarray(att[0])
+    recv = np.asarray(graph.receivers)
+    emask = np.asarray(graph.edge_mask)
+    deg = np.bincount(recv[emask], minlength=graph.num_nodes).astype(float)
+    want = np.abs(a[emask] * deg[recv[emask]][:, None] - 1.0).sum() / \
+        emask.sum()
+    np.testing.assert_allclose(float(norm), want, rtol=1e-5)
+
+
+def test_permutation_invariance():
+    """Node relabelling permutes outputs correspondingly (property test)."""
+    n, f_in = 40, 8
+    g = make_random_graph(17, n, 4.0, f_in)
+    cfg = gat.GATLayerConfig(in_features=f_in, out_features=4, num_heads=2,
+                             concat=True)
+    params = gat.init_gat_layer(jax.random.key(2), cfg)
+
+    def run(x, s, r):
+        graph = T.canonicalize(x, s, r)
+        return np.asarray(gat.gat_layer_apply(
+            params, cfg, graph.x, graph.senders, graph.receivers,
+            graph.edge_mask, graph.num_nodes))[:n]
+
+    out1 = run(g.x, g.senders, g.receivers)
+    perm = np.random.default_rng(0).permutation(n)
+    inv = np.argsort(perm)
+    out2 = run(g.x[perm], inv[g.senders], inv[g.receivers])
+    np.testing.assert_allclose(out2, out1[perm], rtol=2e-4, atol=1e-5)
+
+
+def test_dropout_active_only_in_training():
+    n = 30
+    g = make_random_graph(23, n, 4.0, 8)
+    graph = T.canonicalize(g.x, g.senders, g.receivers)
+    cfg = gat.GATConfig(
+        num_input_node_features=8, num_layers=1, num_heads_per_layer=[2],
+        heads_concat_per_layer=[True], head_output_features_per_layer=[8, 4],
+        num_classes=4, add_skip_connection=[False], dropout=0.5)
+    params = gat.init_gat_model(jax.random.key(3), cfg)
+    eval_out = gat.gat_model_apply(params, cfg, graph, training=False)
+    eval_out2 = gat.gat_model_apply(params, cfg, graph, training=False)
+    np.testing.assert_array_equal(np.asarray(eval_out), np.asarray(eval_out2))
+    tr1 = gat.gat_model_apply(params, cfg, graph, training=True,
+                              rng=jax.random.key(0))
+    tr2 = gat.gat_model_apply(params, cfg, graph, training=True,
+                              rng=jax.random.key(1))
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))

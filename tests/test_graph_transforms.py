@@ -1,0 +1,106 @@
+"""Tests for graph canonicalisation (transforms) and the native graphcore."""
+
+import numpy as np
+import pytest
+
+from gat_pytorch_tpu.graph import graphcore_binding as core
+from gat_pytorch_tpu.graph import transforms as T
+from gat_pytorch_tpu.data.synthetic import make_random_graph
+
+
+def test_add_remaining_self_loops_semantics():
+    # reference semantics (models/utils.py:47-67): drop (i,i), append all N
+    s = np.array([0, 1, 2, 2])
+    r = np.array([1, 1, 0, 2])  # edges (1,1) and (2,2) are self-loops
+    out_s, out_r = T.add_remaining_self_loops(s, r, num_nodes=4)
+    got = set(zip(out_s.tolist(), out_r.tolist()))
+    assert got == {(0, 1), (2, 0), (0, 0), (1, 1), (2, 2), (3, 3)}
+    assert len(out_s) == 2 + 4
+
+
+def test_native_matches_numpy_self_loops():
+    if not core.native_available():
+        pytest.skip("graphcore not built")
+    g = make_random_graph(0, 200, 5.0, 4)
+    ns, nr = core.add_remaining_self_loops(g.senders, g.receivers, 200)
+    keep = g.senders != g.receivers
+    loop = np.arange(200)
+    ws = np.concatenate([g.senders[keep], loop])
+    wr = np.concatenate([g.receivers[keep], loop])
+    np.testing.assert_array_equal(ns, ws)
+    np.testing.assert_array_equal(nr, wr)
+
+
+def test_sort_by_destination_stable():
+    s = np.array([5, 4, 3, 2, 1, 0])
+    r = np.array([2, 0, 2, 1, 0, 1])
+    os_, or_ = T.sort_by_destination(s, r)
+    assert (np.diff(or_) >= 0).all()
+    # stability: within dst=0, original order (4 then 1) preserved
+    np.testing.assert_array_equal(os_, [4, 1, 2, 0, 5, 3])
+
+
+def test_native_sort_matches_numpy():
+    if not core.native_available():
+        pytest.skip("graphcore not built")
+    g = make_random_graph(1, 500, 8.0, 4)
+    ns, nr, perm = core.sort_by_destination(g.senders, g.receivers,
+                                            return_perm=True)
+    order = np.argsort(g.receivers, kind="stable")
+    np.testing.assert_array_equal(ns, g.senders[order])
+    np.testing.assert_array_equal(nr, g.receivers[order])
+    np.testing.assert_array_equal(perm, order)
+
+
+def test_csr_offsets():
+    r = np.array([0, 0, 1, 3, 3, 3])
+    offs = core.csr_offsets(r, 5)
+    np.testing.assert_array_equal(offs, [0, 2, 3, 3, 6, 6])
+
+
+def test_canonicalize_invariants():
+    g = make_random_graph(2, 300, 6.0, 8)
+    graph = T.canonicalize(g.x, g.senders, g.receivers, y=g.y)
+    graph.validate()
+    # self-loops present for every real node
+    s = np.asarray(graph.senders)[np.asarray(graph.edge_mask)]
+    r = np.asarray(graph.receivers)[np.asarray(graph.edge_mask)]
+    loops = set(s[s == r].tolist())
+    assert loops == set(range(300))
+    # padding sizes are lane-aligned
+    assert graph.num_nodes % 128 == 0
+    assert graph.num_edges % 128 == 0
+    assert int(graph.num_real_nodes) == 300
+
+
+def test_canonicalize_explicit_buckets():
+    g = make_random_graph(3, 50, 3.0, 4)
+    graph = T.canonicalize(g.x, g.senders, g.receivers, y=g.y,
+                           node_bucket=256, edge_bucket=512)
+    assert graph.num_nodes == 256 and graph.num_edges == 512
+    graph.validate()
+
+
+def test_block_diagonal():
+    s = np.array([0, 1, 0, 2])
+    r = np.array([1, 0, 1, 0])
+    nodes = np.array([2, 3])
+    edges = np.array([2, 2])
+    os_, or_, gids = core.block_diagonal(s, r, nodes, edges)
+    np.testing.assert_array_equal(os_, [0, 1, 2, 4])
+    np.testing.assert_array_equal(or_, [1, 0, 3, 2])
+    np.testing.assert_array_equal(gids, [0, 0, 1, 1, 1])
+
+
+def test_sample_neighbors():
+    # star graph: node 0 has 10 in-edges
+    r = np.zeros(10, np.int64)
+    s = np.arange(1, 11, dtype=np.int64)
+    offs = core.csr_offsets(r, 11)
+    src, dst = core.sample_neighbors(offs, s, np.array([0]), k=4, seed=42)
+    assert len(src) == 4
+    assert (dst == 0).all()
+    assert np.isin(src, s).all()
+    # degree <= k: take all edges, deterministically
+    src, dst = core.sample_neighbors(offs, s, np.array([0]), k=32, seed=1)
+    np.testing.assert_array_equal(np.sort(src), s)
