@@ -90,7 +90,9 @@ def make_planetoid_like(name: str, seed: int = 0) -> RawGraph:
     """Transductive citation-style graph matching the reference dataset's
     shape (reference workloads: run_config.py:49-98)."""
     n, deg, f, c, n_train, n_val, n_test = SPECS[name]
-    rng = np.random.default_rng(seed + hash(name) % 2**16)
+    # zlib.crc32 is process-stable (python's hash() is salted per process)
+    import zlib
+    rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % 2**16)
     labels = rng.integers(0, c, size=n).astype(np.int64)
     s, r = _sbm_edges(rng, labels, deg)
     x = _class_features(rng, labels, f)
@@ -114,20 +116,23 @@ def make_ppi_like(split: str, seed: int = 0,
     counts = {"train": 20, "val": 2, "test": 2}
     offs = {"train": 0, "val": 20, "test": 22}
     k = num_graphs if num_graphs is not None else counts[split]
+    # the latent->label and latent->feature maps are SHARED across graphs
+    # (label semantics are global in real PPI); only node latents and
+    # edges vary per graph
+    shared = np.random.default_rng(seed + 555)
+    proto = shared.standard_normal((8, 121)).astype(np.float32)
+    w = shared.standard_normal((8, 50)).astype(np.float32)
     graphs = []
     for gi in range(k):
         rng = np.random.default_rng(seed + 1000 + offs[split] + gi)
         n = int(rng.integers(900, 1200))
-        # latent 8-dim structure drives both edges and labels
         z = rng.standard_normal((n, 8)).astype(np.float32)
-        proto = rng.standard_normal((8, 121)).astype(np.float32)
         logits = z @ proto
         y = (logits > np.quantile(logits, 0.78, axis=0)).astype(np.float32)
         # edges between latent-similar nodes
         comm = np.argmax(z[:, :6], axis=1)
         s, r = _sbm_edges(rng, comm.astype(np.int64), avg_degree=28.0,
                           homophily=0.8)
-        w = rng.standard_normal((8, 50)).astype(np.float32)
         x = (z @ w + 0.3 * rng.standard_normal((n, 50))).astype(np.float32)
         graphs.append(RawGraph(x=x, senders=s, receivers=r, y=y))
     return graphs

@@ -1,0 +1,139 @@
+"""End-to-end training tests: the framework must actually learn.
+
+These are the counterpart of the reference's notebook reproduction runs
+(SURVEY.md §4 item 4), on synthetic data, small epoch budgets.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from gat_pytorch_tpu.data import datasets, loader
+from gat_pytorch_tpu.data.synthetic import make_planetoid_like, make_ppi_like
+from gat_pytorch_tpu.train import optim as O
+from gat_pytorch_tpu.train.tasks import make_task
+from gat_pytorch_tpu.train.trainer import Trainer
+from gat_pytorch_tpu.utils.config import get_config
+
+
+def _small_cora_cfg():
+    cfg = get_config("Cora")
+    # shrink feature dim via synthetic graph below; keep architecture shape
+    return cfg
+
+
+def test_cora_synthetic_learns():
+    raw = make_planetoid_like("Cora", seed=0)
+    g = loader.transductive_graph(raw)
+    cfg = get_config("Cora").gat_config()
+    task = make_task("Cora")
+    trainer = Trainer(cfg=cfg, task=task, learning_rate=0.005,
+                      weight_decay=5e-4, max_epochs=60, patience=100,
+                      seed=0)
+    result = trainer.fit([g], [g])
+    test_m = trainer.evaluate(result.params, [g])
+    # synthetic Cora is homophilous + feature-separable; 60 epochs should
+    # reach well above chance (1/7 ~ 0.14)
+    assert test_m["test_acc"] > 0.55, test_m
+    assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
+
+
+def test_ppi_synthetic_learns_batched():
+    train = make_ppi_like("train", num_graphs=4)
+    val = make_ppi_like("val", num_graphs=1)
+    batcher = loader.InductiveBatcher(train, batch_size=2, seed=0)
+    val_batches = loader.InductiveBatcher(val, batch_size=2,
+                                          shuffle=False).epoch()
+    cfg = dataclasses.replace(
+        get_config("PPI"),
+        # lighter stack for test speed, same shape family
+        num_layers=2, num_heads_per_layer=[4, 6],
+        heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[50, 64, 121],
+        add_skip_connection=[False, False]).gat_config()
+    task = make_task("PPI")
+    trainer = Trainer(cfg=cfg, task=task, learning_rate=0.005,
+                      max_epochs=12, seed=0)
+    result = trainer.fit(batcher.epoch(0), val_batches,
+                         reshuffle=batcher.epoch)
+    # val loss must improve over the run (F1 at epoch 0 can fluke high
+    # from random-init logits, so assert on the monitored loss)
+    assert result.best_val_loss < result.history[0]["val_loss"], \
+        result.history[:2]
+    # all batches shared one bucket -> single compilation
+    shapes = {(b.num_nodes, b.num_edges) for b in batcher.epoch(1)}
+    assert len(shapes) == 1
+
+
+def test_pattern_synthetic_with_plateau_scheduler():
+    train = datasets.load_pattern("train", num_graphs=16)
+    val = datasets.load_pattern("val", num_graphs=4)
+    batcher = loader.InductiveBatcher(train, batch_size=8, seed=0)
+    val_b = loader.InductiveBatcher(val, batch_size=8, shuffle=False).epoch()
+    cfg = get_config("PATTERN").gat_config()
+    task = make_task("PATTERN")
+    trainer = Trainer(cfg=cfg, task=task, learning_rate=0.005,
+                      max_epochs=8, seed=0,
+                      plateau=O.ReduceLROnPlateau(factor=0.5, patience=5,
+                                                  min_lr=1e-6))
+    result = trainer.fit(batcher.epoch(0), val_b, reshuffle=batcher.epoch)
+    assert np.isfinite(result.best_val_loss)
+    assert "val_weighted_acc" in result.history[-1]
+
+
+def test_early_stopping_triggers():
+    raw = make_planetoid_like("Citeseer", seed=1)
+    g = loader.transductive_graph(raw)
+    cfg = get_config("Citeseer").gat_config()
+    task = make_task("Citeseer")
+    trainer = Trainer(cfg=cfg, task=task, learning_rate=0.005,
+                      max_epochs=500, patience=5, seed=0)
+    result = trainer.fit([g], [g])
+    # patience 5 will fire long before 500 epochs
+    assert result.stopped_early
+    assert len(result.history) < 500
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    raw = make_planetoid_like("Cora", seed=2)
+    g = loader.transductive_graph(raw)
+    cfg = get_config("Cora").gat_config()
+    task = make_task("Cora")
+    trainer = Trainer(cfg=cfg, task=task, learning_rate=0.005,
+                      max_epochs=3, checkpoint_dir=str(tmp_path), seed=0)
+    result = trainer.fit([g], [g])
+    restored = Trainer.load_checkpoint(str(tmp_path), result.params)
+    for a, b in zip(jax.tree_util.tree_leaves(result.params),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    m1 = trainer.evaluate(result.params, [g])
+    m2 = trainer.evaluate(restored["params"], [g])
+    assert m1 == m2
+
+
+def test_plateau_scheduler_semantics():
+    sch = O.ReduceLROnPlateau(factor=0.5, patience=2, min_lr=1e-3)
+    lr = 1.0
+    lr = sch.step(10.0, lr)   # best=10
+    assert lr == 1.0
+    for _ in range(2):
+        lr = sch.step(10.0, lr)   # bad 1, 2
+    assert lr == 1.0
+    lr = sch.step(10.0, lr)       # bad 3 > patience -> reduce
+    assert lr == 0.5
+    lr = sch.step(1.0, lr)        # improvement resets
+    assert lr == 0.5
+    for _ in range(30):  # a reduction fires every patience+1 bad epochs
+        lr = sch.step(1.0, lr)
+    assert lr == pytest.approx(1e-3)  # clamped at min_lr
+
+
+def test_early_stopping_semantics():
+    es = O.EarlyStopping(patience=3)
+    assert not es.update(1.0)
+    assert not es.update(0.9)
+    assert not es.update(0.95)
+    assert not es.update(0.95)
+    assert es.update(0.95)  # third consecutive non-improvement
