@@ -37,8 +37,23 @@ import jax.numpy as jnp
 
 from ..graph.graph import Graph
 from ..ops import segment as seg
+from ..ops.pallas import segment_attention as fsa
 
 Params = Dict[str, Any]
+
+# Compute-backend selection for the segment-attention hot path:
+#   "auto"   — fused Pallas kernel on TPU, XLA segment ops elsewhere
+#   "xla"    — always XLA segment ops
+#   "pallas" — always the fused kernel (interpret mode off-TPU; tests)
+_VALID_BACKENDS = ("auto", "xla", "pallas")
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend not in _VALID_BACKENDS:
+        raise ValueError(f"backend must be one of {_VALID_BACKENDS}")
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,9 +125,19 @@ def gat_layer_apply(params: Params,
                     *,
                     rng: Optional[jax.Array] = None,
                     training: bool = False,
-                    return_attention: bool = False):
+                    return_attention: bool = False,
+                    edge_axis: Optional[str] = None,
+                    backend: str = "auto"):
     """One GAT layer forward. Graph must be canonicalised (self-loops added,
-    dst-sorted, padded — graph/transforms.canonicalize)."""
+    dst-sorted, padded — graph/transforms.canonicalize).
+
+    edge_axis: name of a mesh axis over which the *edge* arrays are sharded
+    (shard_map edge partitioning, SURVEY.md §5.7/§5.8). Node arrays are
+    replicated across that axis. When set, cross-shard reductions — the
+    global logit max-cap, segment-softmax denominators of cut
+    neighbourhoods, and the SpMM partial aggregates — are completed with
+    pmax/psum collectives over `edge_axis`; everything else is unchanged.
+    """
     nh, f = cfg.num_heads, cfg.out_features
     E = senders.shape[0]
 
@@ -141,20 +166,75 @@ def gat_layer_apply(params: Params,
         if not cfg.paper_faithful:
             # global max-cap BEFORE LeakyReLU — reference :84-85
             masked = jnp.where(edge_mask[:, None], logits, -jnp.inf)
-            logits = logits - jnp.max(masked)
+            cap = jnp.max(masked)
+            if edge_axis is not None:
+                # pmax has no differentiation rule; recover single-device
+                # grad semantics (cotangent flows to the one global argmax)
+                # by differentiating through the local max only on the
+                # shard that owns the global maximum.
+                local = cap
+                global_max = jax.lax.pmax(jax.lax.stop_gradient(local),
+                                          edge_axis)
+                owner = jax.lax.stop_gradient(local) >= global_max
+                cap = jnp.where(owner, local, global_max)
+            logits = logits - cap
         logits = jax.nn.leaky_relu(logits, negative_slope=cfg.slope)
+
+    # ---- fused Pallas path: steps (3)-(5) in one kernel pass ------------
+    # eligible whenever alpha itself isn't needed host-side and edges are
+    # not sharded (the sharded path psums partials; fused variant later)
+    use_fused = (_resolve_backend(backend) == "pallas"
+                 and not return_attention
+                 and edge_axis is None)
+    if use_fused:
+        masked_logits = jnp.where(edge_mask[:, None], logits, fsa.NEG_INF)
+        if cfg.paper_faithful:
+            # pre-subtract the per-segment max (detached) in XLA; the
+            # kernel then only needs exp->denom->aggregate
+            seg_max = jax.lax.stop_gradient(
+                seg.segment_max(masked_logits, receivers, num_nodes))
+            seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+            masked_logits = jnp.where(
+                edge_mask[:, None],
+                masked_logits - seg.gather_rows(seg_max, receivers),
+                fsa.NEG_INF)
+        drop_mask = None
+        if training and cfg.dropout > 0.0:
+            if rng is None:
+                raise ValueError("rng required for attention dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout,
+                                        (E, nh))
+            drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
+        h_src_flat = seg.gather_rows(h_flat, senders)         # (E, NH*F)
+        out = fsa.fused_segment_attention(
+            masked_logits, h_src_flat, receivers, drop_mask,
+            num_nodes, nh, f,
+            0.0 if cfg.paper_faithful else 1e-8,
+            256, 128, jax.default_backend() != "tpu")
+        if cfg.concat:
+            out = out.reshape(num_nodes, nh * f)
+        else:
+            out = jnp.mean(out.reshape(num_nodes, nh, f), axis=1)
+        if cfg.bias:
+            out = out + params["bias"]
+        return out
 
     # (3) segment softmax over in-neighbourhoods — reference :96-109
     alpha = seg.segment_softmax(
         logits, receivers, num_nodes, edge_mask=edge_mask,
         eps=0.0 if cfg.paper_faithful else 1e-8,
-        subtract_segment_max=cfg.paper_faithful)
+        subtract_segment_max=cfg.paper_faithful,
+        edge_axis=edge_axis)
 
     # (4) attention dropout — reference :113-115
     alpha_drop = alpha
     if training and cfg.dropout > 0.0:
         if rng is None:
             raise ValueError("rng required for attention dropout")
+        if edge_axis is not None:
+            # decorrelate the per-edge mask across edge shards (node-level
+            # dropout in the model loop keeps a shared key — x is replicated)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(edge_axis))
         keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, alpha.shape)
         alpha_drop = jnp.where(keep, alpha / (1.0 - cfg.dropout), 0.0)
 
@@ -163,6 +243,8 @@ def gat_layer_apply(params: Params,
     src_feats = seg.gather_rows(h, senders)                   # (E, NH, F)
     weighted = src_feats * alpha_drop[:, :, None]
     out = seg.segment_sum(weighted, receivers, num_nodes)     # (N, NH, F)
+    if edge_axis is not None:
+        out = jax.lax.psum(out, edge_axis)
 
     # (6) head combine — reference :129-132
     if cfg.concat:
@@ -263,7 +345,9 @@ def gat_model_apply(params: Params,
                     *,
                     rng: Optional[jax.Array] = None,
                     training: bool = False,
-                    return_attention: bool = False):
+                    return_attention: bool = False,
+                    edge_axis: Optional[str] = None,
+                    backend: str = "auto"):
     """Full stack: [input dropout -> layer -> skip -> ELU(between)] xL.
     Reference: models/GATModel.py:120-151 (forward) and :153-187
     (forward_and_return_attention — same path, attention captured)."""
@@ -287,7 +371,8 @@ def gat_model_apply(params: Params,
             params["layers"][i], layer_cfgs[i], x,
             graph.senders, graph.receivers, graph.edge_mask, graph.num_nodes,
             rng=rngs[2 * i + 1], training=training,
-            return_attention=return_attention)
+            return_attention=return_attention, edge_axis=edge_axis,
+            backend=backend)
         if return_attention:
             x, alpha = out
             attention.append(alpha)
@@ -317,7 +402,9 @@ def gat_model_apply(params: Params,
 
 
 def calc_attention_norm(graph: Graph,
-                        attention: Sequence[jax.Array]) -> jax.Array:
+                        attention: Sequence[jax.Array],
+                        *,
+                        edge_axis: Optional[str] = None) -> jax.Array:
     """Attention regulariser: mean over layers of ||alpha*deg - 1||_1 / E
     (reference models/GATModel.py:189-234). Only real edges contribute;
     E is the real edge count (reference divides by the full edge count —
@@ -325,11 +412,18 @@ def calc_attention_norm(graph: Graph,
     recv = graph.receivers
     emask = graph.edge_mask
     degrees = seg.in_degree(recv, graph.num_nodes, edge_mask=emask)
+    if edge_axis is not None:
+        degrees = jax.lax.psum(degrees, edge_axis)
     deg_per_edge = seg.gather_rows(degrees, recv)          # (E,)
     e_real = jnp.maximum(jnp.sum(emask.astype(jnp.float32)), 1.0)
+    if edge_axis is not None:
+        e_real = jax.lax.psum(e_real, edge_axis)
     total = jnp.float32(0.0)
     for alpha in attention:
         unnorm = alpha * deg_per_edge[:, None]
         dev = jnp.abs(unnorm - 1.0) * emask[:, None]
-        total = total + jnp.sum(dev) / e_real
+        s = jnp.sum(dev)
+        if edge_axis is not None:
+            s = jax.lax.psum(s, edge_axis)
+        total = total + s / e_real
     return total / jnp.float32(len(attention))

@@ -69,7 +69,8 @@ def segment_softmax(logits: jax.Array,
                     *,
                     edge_mask: jax.Array | None = None,
                     eps: float = 1e-8,
-                    subtract_segment_max: bool = False) -> jax.Array:
+                    subtract_segment_max: bool = False,
+                    edge_axis: str | None = None) -> jax.Array:
     """Softmax over variable-size segments (in-neighbourhoods).
 
     Matches the reference semantics (models/gat_layer.py:96-109): plain
@@ -80,15 +81,27 @@ def segment_softmax(logits: jax.Array,
 
     logits:   (E, H)
     returns:  (E, H) normalised attention coefficients; padding edges -> 0.
+
+    edge_axis: mesh axis name when the edge arrays are sharded (node-sized
+    partial reductions completed with pmax/psum — the distributed softmax
+    for neighbourhoods cut across chips, SURVEY.md §5.7).
     """
     if subtract_segment_max:
-        seg_max = segment_max(logits, segment_ids, num_segments)
+        # detached: softmax is invariant to per-segment shifts, so the
+        # max's gradient contribution cancels exactly — and lax.pmax has
+        # no differentiation rule anyway
+        seg_max = jax.lax.stop_gradient(
+            segment_max(logits, segment_ids, num_segments))
+        if edge_axis is not None:
+            seg_max = jax.lax.pmax(seg_max, edge_axis)
         seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
         logits = logits - gather_rows(seg_max, segment_ids)
     ex = jnp.exp(logits)
     if edge_mask is not None:
         ex = jnp.where(edge_mask[:, None], ex, 0.0)
     denom = segment_sum(ex, segment_ids, num_segments)
+    if edge_axis is not None:
+        denom = jax.lax.psum(denom, edge_axis)
     denom_per_edge = gather_rows(denom, segment_ids)
     out = ex / (denom_per_edge + eps)
     if edge_mask is not None:

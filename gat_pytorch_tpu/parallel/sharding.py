@@ -1,0 +1,77 @@
+"""Graph-batch stacking and sharding specs for the (data, edge) mesh.
+
+`GraphBatch` is just a `Graph` whose array fields carry a leading batch
+dimension B (all graphs padded to one bucket, data/loader.py guarantees
+this). Sharding layout:
+
+  field                      spec
+  x, node_mask, y, splits    P(data)          — nodes replicated over edge
+  senders/receivers/e_mask   P(data, edge)    — contiguous dst-ranges/shard
+
+Contiguity matters: receivers are sorted ascending, so an equal split of
+the edge axis gives each device a contiguous destination range and the
+per-shard segment_sum stays a sorted, atomics-free reduction; only
+neighbourhoods cut at shard boundaries need the psum completion
+(models/gat.py edge_axis paths).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..graph.graph import Graph
+from .mesh import DATA_AXIS, EDGE_AXIS
+
+_EDGE_FIELDS = frozenset({"senders", "receivers", "edge_mask"})
+_META_FIELDS = frozenset({"num_nodes", "num_edges"})
+
+
+def stack_graphs(graphs: List[Graph]) -> Graph:
+    """Stack same-bucket Graphs along a new leading batch axis."""
+    g0 = graphs[0]
+    for g in graphs[1:]:
+        if (g.num_nodes, g.num_edges) != (g0.num_nodes, g0.num_edges):
+            raise ValueError("all graphs in a batch must share one bucket")
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *graphs)
+
+
+def batch_specs(graph: Graph,
+                data_axis: Optional[str] = DATA_AXIS,
+                edge_axis: Optional[str] = EDGE_AXIS) -> Graph:
+    """A Graph-shaped pytree of PartitionSpecs for a stacked batch
+    (leading dim over `data_axis`, edge dim over `edge_axis`)."""
+    kw = {}
+    for f in dataclasses.fields(Graph):
+        if f.name in _META_FIELDS:
+            kw[f.name] = getattr(graph, f.name)
+        elif getattr(graph, f.name) is None:
+            kw[f.name] = None
+        elif f.name in _EDGE_FIELDS:
+            kw[f.name] = PartitionSpec(data_axis, edge_axis)
+        else:
+            kw[f.name] = PartitionSpec(data_axis)
+    return Graph(**kw)
+
+
+def put_batch(batch: Graph, mesh: Mesh) -> Graph:
+    """Device_put the stacked batch with its NamedShardings (GSPMD path —
+    jit on functions over this batch lets XLA insert the collectives; the
+    explicit shard_map path in parallel/train.py is the hand-scheduled
+    equivalent)."""
+    specs = batch_specs(batch)
+    return jax.tree_util.tree_map(
+        lambda x, s: None if x is None
+        else jax.device_put(x, NamedSharding(mesh, s)),
+        batch, specs,
+        is_leaf=lambda x: x is None)
+
+
+def replicated(tree, mesh: Mesh):
+    """Fully-replicated NamedSharding for params / train state."""
+    sh = NamedSharding(mesh, PartitionSpec())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

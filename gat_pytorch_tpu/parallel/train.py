@@ -1,0 +1,134 @@
+"""Multi-chip train/eval steps: shard_map over the (data, edge) mesh.
+
+One jit-compiled SPMD program per step:
+
+  * graphs-per-batch sharded over ``data`` (DP),
+  * each graph's dst-sorted edge list sharded over ``edge`` (the sequence-
+    parallel analog; SURVEY.md §5.7) — the forward completes cut-
+    neighbourhood softmax denominators / aggregates with psum over
+    ``edge`` (models/gat.py `edge_axis` paths),
+  * params replicated; gradients are per-shard partials summed with one
+    psum over ("data", "edge") — partials are genuine because every path
+    from params to the loss crosses an edge-local op (gather/SDDMM/SpMM).
+
+This hand-scheduled path and the GSPMD auto path (sharding.put_batch +
+plain jit) compute the same function; tests assert they match the
+single-device trainer step bit-for-bit in f32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..graph.graph import Graph
+from ..models import gat
+from ..train.tasks import Task
+from ..train.trainer import TrainState, _squeeze
+from .mesh import DATA_AXIS, EDGE_AXIS
+from .sharding import batch_specs
+
+
+def _global_batch_size(mesh: Mesh, local_b: int) -> int:
+    return local_b * mesh.shape[DATA_AXIS]
+
+
+def make_sharded_train_step(cfg: gat.GATConfig, task: Task, tx,
+                            mesh: Mesh) -> Callable:
+    """Jitted train step over a stacked GraphBatch (leading dim B divisible
+    by the mesh's data-axis size)."""
+    need_attention = task.attention_coef != 0.0
+
+    def per_graph_loss(params, graph: Graph, rng):
+        out = gat.gat_model_apply(params, cfg, graph, rng=rng, training=True,
+                                  return_attention=need_attention,
+                                  edge_axis=EDGE_AXIS)
+        if need_attention:
+            logits, attention = out
+            norm = gat.calc_attention_norm(graph, attention,
+                                           edge_axis=EDGE_AXIS)
+        else:
+            logits, norm = out, jnp.float32(0.0)
+        logits = _squeeze(logits, task)
+        base = task.loss(logits, graph, "train")
+        total = base + task.attention_coef * norm
+        mets = {k: v for k, v in task.metrics(logits, graph, "train").items()
+                if k != "loss"}
+        return total, (norm, mets)
+
+    def local_value_and_grad(params, batch: Graph, rng, b_global: int):
+        b_local = batch.x.shape[0]
+        di = jax.lax.axis_index(DATA_AXIS)
+        idx = jnp.arange(b_local) + di * b_local
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(idx)
+
+        def local_loss(params):
+            losses, (norms, mets) = jax.vmap(
+                lambda g, k: per_graph_loss(params, g, k))(batch, keys)
+            return jnp.sum(losses) / b_global, (jnp.sum(norms) / b_global,
+                                                mets)
+
+        (loss, (norm, mets)), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params)
+        return loss, norm, mets, grads
+
+    def sharded_body(params, batch: Graph, rng):
+        b_global = _global_batch_size(mesh, batch.x.shape[0])
+        loss, norm, mets, grads = local_value_and_grad(
+            params, batch, rng, b_global)
+        # Complete the data-mean for the scalars. Gradients need NO manual
+        # reduction: params enter shard_map replicated (in_spec P()), so
+        # under check_vma=True the implicit pvary at the invariant->varying
+        # boundary transposes to a psum over BOTH mesh axes — grads leave
+        # value_and_grad already fully reduced; psumming again would
+        # multiply them by the axis size.
+        loss = jax.lax.psum(loss, DATA_AXIS)
+        norm = jax.lax.psum(norm, DATA_AXIS)
+        mets = {k: jax.lax.psum(jnp.sum(v) / b_global, DATA_AXIS)
+                for k, v in mets.items()}
+        return loss, norm, mets, grads
+
+    def train_step(state: TrainState, batch: Graph):
+        rng, sub = jax.random.split(state.rng)
+        specs = batch_specs(batch)
+        loss, norm, mets, grads = jax.shard_map(
+            sharded_body, mesh=mesh,
+            in_specs=(P(), specs, P()), out_specs=P(),
+            check_vma=True)(state.params, batch, sub)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        out = {"train_loss": loss, "train_attention_norm": norm}
+        out.update({f"train_{k}": v for k, v in mets.items()})
+        return TrainState(params=params, opt_state=opt_state, rng=rng,
+                          step=state.step + 1), out
+
+    return jax.jit(train_step)
+
+
+def make_sharded_eval_step(cfg: gat.GATConfig, task: Task, mesh: Mesh,
+                           phase: str) -> Callable:
+
+    def per_graph_metrics(params, graph: Graph):
+        logits = gat.gat_model_apply(params, cfg, graph, training=False,
+                                     edge_axis=EDGE_AXIS)
+        return task.metrics(_squeeze(logits, task), graph, phase)
+
+    def sharded_body(params, batch: Graph):
+        b_global = _global_batch_size(mesh, batch.x.shape[0])
+        mets = jax.vmap(lambda g: per_graph_metrics(params, g))(batch)
+        return {k: jax.lax.psum(jnp.sum(v) / b_global, DATA_AXIS)
+                for k, v in mets.items()}
+
+    def eval_step(params, batch: Graph):
+        specs = batch_specs(batch)
+        return jax.shard_map(
+            sharded_body, mesh=mesh,
+            in_specs=(P(), specs), out_specs=P(),
+            check_vma=False)(params, batch)
+
+    return jax.jit(eval_step)

@@ -1,0 +1,161 @@
+"""Multi-chip sharding correctness on the virtual 8-device CPU mesh.
+
+The key property: the shard_map (data, edge) training/eval steps compute
+the SAME function as unsharded vmap'd single-device math — cut
+neighbourhoods, global max-cap, gradient psums and all.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gat_pytorch_tpu import parallel
+from gat_pytorch_tpu.graph import transforms as T
+from gat_pytorch_tpu.models import gat
+from gat_pytorch_tpu.train import optim as O
+from gat_pytorch_tpu.train.tasks import make_task
+from gat_pytorch_tpu.train.trainer import TrainState
+
+
+def tiny_cfg(dropout=0.0):
+    return gat.GATConfig(
+        num_input_node_features=12, num_layers=2,
+        num_heads_per_layer=[2, 2], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[12, 8, 4], num_classes=4,
+        add_skip_connection=[False, True], dropout=dropout)
+
+
+def tiny_batch(n_graphs, seed=0, num_nodes=24, num_feats=12, num_classes=4):
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for i in range(n_graphs):
+        senders = np.repeat(np.arange(num_nodes), 3)
+        receivers = rng.integers(0, num_nodes, num_nodes * 3)
+        x = rng.normal(size=(num_nodes, num_feats)).astype(np.float32)
+        y = (rng.random((num_nodes, num_classes)) > 0.5).astype(np.float32)
+        graphs.append(T.canonicalize(x, senders, receivers, y=y,
+                                     node_bucket=32, edge_bucket=128,
+                                     pad_multiple=32))
+    return parallel.stack_graphs(graphs)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return parallel.make_mesh(data=2, edge=4)
+
+
+def test_sharded_eval_matches_unsharded(mesh):
+    cfg = tiny_cfg()
+    task = make_task("PPI")
+    batch = tiny_batch(4)
+    params = gat.init_gat_model(jax.random.key(0), cfg)
+
+    sharded = parallel.make_sharded_eval_step(cfg, task, mesh, "val")
+    got = sharded(params, parallel.put_batch(batch, mesh))
+
+    def per_graph(g):
+        logits = gat.gat_model_apply(params, cfg, g, training=False)
+        return task.metrics(logits, g, "val")
+
+    want = jax.tree_util.tree_map(lambda v: jnp.mean(v),
+                                  jax.vmap(per_graph)(batch))
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_train_step_matches_unsharded(mesh):
+    import optax
+    cfg = tiny_cfg()
+    task = make_task("PPI", attention_penalty=0.05)
+    batch = tiny_batch(4, seed=3)
+    # sgd, not adam: adam's step-1 update is +-lr for ANY nonzero grad, so
+    # float noise on near-zero grads would amplify to 2*lr param diffs
+    tx = optax.sgd(1e-1)
+    params = gat.init_gat_model(jax.random.key(1), cfg)
+    rng = jax.random.key(2)
+
+    def mk_state():
+        return TrainState(params=params, opt_state=tx.init(params),
+                          rng=rng, step=jnp.int32(0))
+
+    step = parallel.make_sharded_train_step(cfg, task, tx, mesh)
+    state_s, mets_s = step(parallel.replicated(mk_state(), mesh),
+                           parallel.put_batch(batch, mesh))
+
+    # unsharded reference with the identical rng-folding scheme
+    _, sub = jax.random.split(rng)
+
+    def loss_fn(p):
+        def per_graph(g, k):
+            logits, att = gat.gat_model_apply(p, cfg, g, rng=k,
+                                              training=True,
+                                              return_attention=True)
+            norm = gat.calc_attention_norm(g, att)
+            return task.loss(logits, g, "train") + task.attention_coef * norm
+        keys = jax.vmap(lambda i: jax.random.fold_in(sub, i))(jnp.arange(4))
+        return jnp.mean(jax.vmap(per_graph)(batch, keys))
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(mets_s["train_loss"]), float(loss_ref),
+                               rtol=1e-5)
+
+    updates, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+    flat_s = jax.tree_util.tree_leaves(state_s.params)
+    flat_r = jax.tree_util.tree_leaves(params_ref)
+    for a, b in zip(flat_s, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_gspmd_auto_sharding_compiles_and_matches(mesh):
+    """The GSPMD path: plain jit over a put_batch()-sharded batch."""
+    cfg = tiny_cfg()
+    batch = tiny_batch(4, seed=5)
+    params = gat.init_gat_model(jax.random.key(0), cfg)
+
+    @jax.jit
+    def fwd(p, b):
+        return jax.vmap(
+            lambda g: gat.gat_model_apply(p, cfg, g, training=False))(b)
+
+    want = fwd(params, batch)
+    got = fwd(params, parallel.put_batch(batch, mesh))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dropout_decorrelated_across_edge_shards(mesh):
+    """Attention dropout masks must differ between edge shards but node
+    dropout must agree — checked via determinism across two runs and
+    non-triviality of the result."""
+    cfg = tiny_cfg(dropout=0.4)
+    task = make_task("PPI")
+    batch = tiny_batch(4, seed=7)
+    tx = O.adam_l2(1e-2)
+    params = gat.init_gat_model(jax.random.key(1), cfg)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       rng=jax.random.key(3), step=jnp.int32(0))
+    step = parallel.make_sharded_train_step(cfg, task, tx, mesh)
+    sb = parallel.put_batch(batch, mesh)
+    _, m1 = step(parallel.replicated(state, mesh), sb)
+    _, m2 = step(parallel.replicated(state, mesh), sb)
+    assert float(m1["train_loss"]) == float(m2["train_loss"])  # deterministic
+    assert np.isfinite(float(m1["train_loss"]))
+
+
+def test_dryrun_multichip_entrypoint():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[-1] == 7
