@@ -1,0 +1,101 @@
+"""End-to-end reproduction driver — the counterpart of the reference's
+Reproduce_Experiments.ipynb (reference: 58 cells; SURVEY.md §2.14):
+
+  1. trains each of the five datasets with its run_config hyperparameters
+     and reports test metrics;
+  2. the attention-regularisation sweep: PPI with attention_penalty in
+     {0, 0.1, 0.5, 1.0}, written to f1_scores_lambda.csv and plotted as
+     F1 vs lambda (reference cells 45-49; the CSV the reference
+     references but never shipped);
+  3. renders the three visualisation figures per dataset.
+
+Usage:
+    python examples/reproduce_experiments.py --quick          # CI-sized
+    python examples/reproduce_experiments.py                  # full configs
+    python examples/reproduce_experiments.py --datasets Cora PPI
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--datasets", nargs="*",
+                   default=["Cora", "Citeseer", "Pubmed", "PPI", "PATTERN"])
+    p.add_argument("--quick", action="store_true",
+                   help="small epoch counts (smoke-scale)")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--out_dir", default="reproduction")
+    p.add_argument("--sweep", action="store_true",
+                   help="run the PPI attention-penalty sweep")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from gat_pytorch_tpu.cli.train import run as train_run
+    from gat_pytorch_tpu.utils.config import get_config
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    results = {}
+
+    for ds in args.datasets:
+        overrides = {}
+        if args.quick:
+            overrides["num_epochs"] = 20 if ds in ("PPI", "PATTERN") else 50
+        cfg = get_config(ds, **overrides)
+        cfg.checkpoint_dir = os.path.join(args.out_dir, "ckpt", ds)
+        cfg.log_every = 0
+        print(f"=== {ds} ===", flush=True)
+        results[ds] = train_run(cfg)
+
+    with open(os.path.join(args.out_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+    if args.sweep:
+        lambdas = [0.0, 0.1, 0.5, 1.0]
+        rows = []
+        for lam in lambdas:
+            cfg = get_config("PPI", attention_penalty=lam)
+            if args.quick:
+                cfg.num_epochs = 15
+            cfg.checkpoint_dir = None
+            print(f"=== PPI sweep lambda={lam} ===", flush=True)
+            m = train_run(cfg)
+            rows.append({"lambda": lam, "f1": m.get("test_f1", 0.0)})
+        csv_path = os.path.join(args.out_dir, "f1_scores_lambda.csv")
+        with open(csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["lambda", "f1"])
+            w.writeheader()
+            w.writerows(rows)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        ax.plot([r["lambda"] for r in rows], [r["f1"] for r in rows],
+                marker="o")
+        ax.set_xlabel("attention penalty λ")
+        ax.set_ylabel("PPI test micro-F1")
+        fig.savefig(os.path.join(args.out_dir, "f1_vs_lambda.png"), dpi=120)
+
+    # vis figures from the freshly trained checkpoints
+    from gat_pytorch_tpu.cli import vis as vis_cli
+    for ds in args.datasets:
+        for vt in ("Entropy", "Weight"):
+            vis_cli.main(["--dataset", ds, "--vis_type", vt,
+                          "--out_dir", os.path.join(args.out_dir, "figures")])
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,15 +48,35 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _kernel(tile_off_ref,          # scalar prefetch: (T+1,) int32
-            logits_hbm, h_hbm, recv_hbm, drop_hbm,   # ANY/HBM inputs
+            logits_hbm, h_hbm, recv_hbm, drop_hbm,   # HBM, edge-major lanes
             out_ref, denom_ref,    # VMEM outputs, blocked per node tile
             logits_buf, h_buf, recv_buf, drop_buf, sems,
-            *, eb: int, nb: int, nh: int, f: int, eps: float,
-            with_dropout: bool):
+            *, eb: int, nb: int, nh: int, f: int, nh8: int, nhf8: int,
+            eps: float, with_dropout: bool):
+    """All edge arrays are TRANSPOSED — the edge axis is the lane (minor)
+    dimension: logits (NH8, E), h (NHF8, E), recv (8, E). Every DMA slice
+    is then [full-sublanes, EB lanes] with EB a multiple of 128 and the
+    sublane counts padded to multiples of 8 — the f32 (8, 128) tile is
+    the only granularity Mosaic slices at (an (EB, NH) layout would need
+    sub-128 lane slices; NH*F=7 would need sub-8 sublane slices).
+    Padding head/feature rows carry -inf logits (exp = 0) or zeros, so
+    they contribute nothing. Outputs transposed too: (NHF8, N)/(NH8, N).
+    """
     i = pl.program_id(0)
-    lo = tile_off_ref[i]
+    # align the tile's first block down to an EB boundary: DMA starts must
+    # be provably 128-divisible, and the leading out-of-tile edges are
+    # harmless (their receivers miss the one-hot below)
+    lo = (tile_off_ref[i] // eb) * eb
     hi = tile_off_ref[i + 1]
     nblocks = pl.cdiv(hi - lo, eb)
+
+    # head-expander (NH8, NHF8): row h is 1 on columns [h*F, (h+1)*F).
+    # Broadcasting per-head scalars over their F feature rows via this
+    # small MXU matmul avoids lane-splitting reshapes (unsupported).
+    exp_rows = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 0)
+    exp_cols = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 1)
+    expander = ((exp_cols // f == exp_rows)
+                & (exp_rows < nh) & (exp_cols < nh * f)).astype(jnp.float32)
 
     out_ref[:] = jnp.zeros_like(out_ref)
     denom_ref[:] = jnp.zeros_like(denom_ref)
@@ -64,18 +84,18 @@ def _kernel(tile_off_ref,          # scalar prefetch: (T+1,) int32
     nbuf = 2  # double buffer
 
     def dma(slot, b):
-        start = lo + b * eb
+        start = pl.multiple_of(lo + b * eb, eb)
         cps = [
-            pltpu.make_async_copy(logits_hbm.at[pl.ds(start, eb), :],
+            pltpu.make_async_copy(logits_hbm.at[:, pl.ds(start, eb)],
                                   logits_buf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(h_hbm.at[pl.ds(start, eb), :],
+            pltpu.make_async_copy(h_hbm.at[:, pl.ds(start, eb)],
                                   h_buf.at[slot], sems.at[slot, 1]),
-            pltpu.make_async_copy(recv_hbm.at[pl.ds(start, eb), :],
+            pltpu.make_async_copy(recv_hbm.at[:, pl.ds(start, eb)],
                                   recv_buf.at[slot], sems.at[slot, 2]),
         ]
         if with_dropout:
             cps.append(
-                pltpu.make_async_copy(drop_hbm.at[pl.ds(start, eb), :],
+                pltpu.make_async_copy(drop_hbm.at[:, pl.ds(start, eb)],
                                       drop_buf.at[slot], sems.at[slot, 3]))
         return cps
 
@@ -95,33 +115,40 @@ def _kernel(tile_off_ref,          # scalar prefetch: (T+1,) int32
         for cp in dma(slot, b):
             cp.wait()
 
-        ex = jnp.exp(logits_buf[slot])                      # (EB, NH)
-        # one-hot of receiver against this tile's node range; rows whose
-        # receiver is outside the tile (block overrun) vanish here
-        local = recv_buf[slot] - i * nb                     # (EB, 1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (eb, nb), 1)
-        onehot = (local == cols).astype(jnp.float32)        # (EB, NB)
+        ex_t = jnp.exp(logits_buf[slot])                    # (NH8, EB)
+        # one-hot^T of receiver vs this tile's node range; edges whose
+        # receiver is outside the tile (block overrun) vanish here.
+        # recv is padded to 8 sublanes; only row 0 is meaningful.
+        recv_row = recv_buf[slot][0:1, :]                   # (1, EB)
+        rows = i * nb + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+        onehot_t = (recv_row == rows).astype(jnp.float32)   # (NB, EB)
 
-        contract = (((0,), (0,)), ((), ()))                 # sum over EB
+        sum_eb_rhs = (((1,), (1,)), ((), ()))   # contract the edge axis
         denom_ref[:] += jax.lax.dot_general(
-            onehot, ex, contract, preferred_element_type=jnp.float32)
+            ex_t, onehot_t, sum_eb_rhs,
+            preferred_element_type=jnp.float32)             # (NH8, NB)
 
-        num = ex
+        num_t = ex_t
         if with_dropout:
-            num = num * drop_buf[slot]
-        weighted = (h_buf[slot].reshape(eb, nh, f)
-                    * num[:, :, None]).reshape(eb, nh * f)
+            num_t = num_t * drop_buf[slot]
+        num_wide = jax.lax.dot_general(
+            expander, num_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHF8, EB)
+        weighted_t = h_buf[slot] * num_wide
         out_ref[:] += jax.lax.dot_general(
-            onehot, weighted, contract, preferred_element_type=jnp.float32)
+            weighted_t, onehot_t, sum_eb_rhs,
+            preferred_element_type=jnp.float32)             # (NHF8, NB)
         return 0
 
     jax.lax.fori_loop(0, nblocks, body, 0)
 
     # empty segments (padding nodes, eps=0 faithful mode) -> 0, not 0*inf
-    d = denom_ref[:]                                        # (NB, NH)
+    d = denom_ref[:]                                        # (NH8, NB)
     inv = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
-    out3 = out_ref[:].reshape(nb, nh, f) * inv[:, :, None]
-    out_ref[:] = out3.reshape(nb, nh * f)
+    inv_wide = jax.lax.dot_general(
+        expander, inv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # (NHF8, NB)
+    out_ref[:] = out_ref[:] * inv_wide
 
 
 def _forward(logits: jax.Array,       # (E, NH) post-LeakyReLU/cap; pad=-inf
@@ -133,18 +160,22 @@ def _forward(logits: jax.Array,       # (E, NH) post-LeakyReLU/cap; pad=-inf
     e = logits.shape[0]
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
+    nh8 = _round_up(nh, 8)
+    nhf8 = _round_up(nh * f, 8)
 
-    # pad the edge axis by EB so the last block's overrun read is in-bounds
-    def pad_e(a, fill):
-        return jnp.pad(a, ((0, eb),) + ((0, 0),) * (a.ndim - 1),
+    # transpose to edge-major lanes; pad the edge axis by EB so the last
+    # block's overrun read stays in-bounds, and the sublane axes to
+    # multiples of 8 (f32 tile granularity — see _kernel docstring)
+    def pad_t(a_t, rows, fill):
+        return jnp.pad(a_t, ((0, rows - a_t.shape[0]), (0, eb)),
                        constant_values=fill)
 
-    logits_p = pad_e(logits, NEG_INF)
-    h_p = pad_e(h_src, 0.0)
-    recv_p = pad_e(receivers.astype(jnp.int32), num_nodes)[:, None]
+    logits_p = pad_t(logits.T, nh8, NEG_INF)                 # (NH8, E+EB)
+    h_p = pad_t(h_src.T, nhf8, 0.0)                          # (NHF8, E+EB)
+    recv_p = pad_t(receivers.astype(jnp.int32)[None, :], 8, num_nodes)
     with_dropout = drop_mask is not None
-    drop_p = pad_e(drop_mask, 0.0) if with_dropout else \
-        jnp.zeros((1, nh), jnp.float32)
+    drop_p = pad_t(drop_mask.T, nh8, 0.0) if with_dropout else \
+        jnp.zeros((nh8, 1), jnp.float32)
 
     # per-tile contiguous edge ranges (receivers ascending)
     bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
@@ -155,44 +186,46 @@ def _forward(logits: jax.Array,       # (E, NH) post-LeakyReLU/cap; pad=-inf
         num_scalar_prefetch=1,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # logits
-            pl.BlockSpec(memory_space=pl.ANY),   # h_src
-            pl.BlockSpec(memory_space=pl.ANY),   # receivers
-            pl.BlockSpec(memory_space=pl.ANY),   # drop mask
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # logits^T
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # h_src^T
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # receivers
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # drop mask^T
         ],
         out_specs=[
-            pl.BlockSpec((nb, nh * f), lambda i, *_: (i, 0),
+            pl.BlockSpec((nhf8, nb), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, nh), lambda i, *_: (i, 0),
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, eb, nh), jnp.float32),
-            pltpu.VMEM((2, eb, nh * f), jnp.float32),
-            pltpu.VMEM((2, eb, 1), jnp.int32),
-            pltpu.VMEM((2, eb, nh), jnp.float32),
+            pltpu.VMEM((2, nh8, eb), jnp.float32),
+            pltpu.VMEM((2, nhf8, eb), jnp.float32),
+            pltpu.VMEM((2, 8, eb), jnp.int32),
+            pltpu.VMEM((2, nh8, eb), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
 
-    kernel = functools.partial(_kernel, eb=eb, nb=nb, nh=nh, f=f, eps=eps,
+    kernel = functools.partial(_kernel, eb=eb, nb=nb, nh=nh, f=f,
+                               nh8=nh8, nhf8=nhf8, eps=eps,
                                with_dropout=with_dropout)
-    flops_est = 2 * 2 * (e + eb) * nb * (nh * f + nh)
-    out, denom = pl.pallas_call(
+    flops_est = 2 * 2 * (e + eb) * nb * (nhf8 + nh8)
+    out_t, denom_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, nh * f), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, nh), jnp.float32),
+            jax.ShapeDtypeStruct((nhf8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nh8, n_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops_est,
-            bytes_accessed=(e + eb) * (nh * f + 2 * nh + 1) * 4
-            + n_pad * (nh * f + nh) * 4,
-            transcendentals=(e + eb) * nh),
+            bytes_accessed=(e + eb) * (nhf8 + 2 * nh8 + 8) * 4
+            + n_pad * (nhf8 + nh8) * 4,
+            transcendentals=(e + eb) * nh8),
         interpret=interpret,
     )(tile_off, logits_p, h_p, recv_p, drop_p)
-    return out[:num_nodes], denom[:num_nodes]
+    return (out_t.T[:num_nodes, :nh * f],
+            denom_t.T[:num_nodes, :nh])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))

@@ -14,7 +14,6 @@ ckpts (SURVEY.md §5.4): params + optimizer state + epoch + best metric.
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import time
 from functools import partial
@@ -54,9 +53,11 @@ def _squeeze(logits, task: Task):
     return logits[:, 0] if task.squeeze_output and logits.ndim == 2 else logits
 
 
-def make_train_step(cfg: gat.GATConfig, task: Task, tx) -> Callable:
+def make_train_step(cfg: gat.GATConfig, task: Task, tx,
+                    jit: bool = True) -> Callable:
     """Build the jitted train step: forward(+attention if regularised),
-    loss, grad, optimizer update."""
+    loss, grad, optimizer update. `jit=False` returns the raw function
+    for embedding in a larger compiled program (lax.scan blocks)."""
     need_attention = task.attention_coef != 0.0
 
     def loss_fn(params, graph: Graph, rng):
@@ -73,7 +74,6 @@ def make_train_step(cfg: gat.GATConfig, task: Task, tx) -> Callable:
         return total, {"train_loss": total, "train_attention_norm": norm,
                        "logits": logits}
 
-    @jax.jit
     def train_step(state: TrainState, graph: Graph):
         rng, sub = jax.random.split(state.rng)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -90,7 +90,80 @@ def make_train_step(cfg: gat.GATConfig, task: Task, tx) -> Callable:
                      if k != "loss"})
         return new_state, mets
 
-    return train_step
+    return jax.jit(train_step) if jit else train_step
+
+
+def make_scanned_fit_block(cfg: gat.GATConfig, task: Task, tx,
+                           epochs_per_block: int) -> Callable:
+    """A jit-compiled block of `epochs_per_block` (train + val) epochs for
+    transductive datasets, lax.scan'd fully on-device — ONE dispatch per
+    block instead of 2/epoch (SURVEY.md §7.4: for Planetoid one epoch is
+    one step, reference train.py:20-27 pays Lightning loop overhead per
+    epoch).
+
+    ModelCheckpoint(monitor=val_loss, mode=min) semantics run on-device:
+    the scan carry holds (best_val, best_params, best_epoch) updated with
+    a masked tree-select each epoch — bit-identical to the host-side
+    Trainer.fit tracking. Early stopping stays host-side at block
+    granularity (it only *stops*, never changes math).
+
+    Returns block(state, best, graph) -> (state, best, rows) where rows
+    are per-epoch metric arrays of length epochs_per_block and
+    best = (best_val, best_params, best_epoch).
+    """
+    need_attention = task.attention_coef != 0.0
+
+    def loss_fn(params, graph: Graph, rng):
+        out = gat.gat_model_apply(params, cfg, graph, rng=rng, training=True,
+                                  return_attention=need_attention)
+        if need_attention:
+            logits, attention = out
+            norm = gat.calc_attention_norm(graph, attention)
+        else:
+            logits, norm = out, jnp.float32(0.0)
+        logits = _squeeze(logits, task)
+        total = task.loss(logits, graph, "train") + task.attention_coef * norm
+        return total, (norm, logits)
+
+    def one_epoch(carry, _, graph: Graph):
+        state, best_val, best_params, best_epoch = carry
+        rng, sub = jax.random.split(state.rng)
+        (loss, (norm, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, graph, sub)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        state = TrainState(params=params, opt_state=opt_state, rng=rng,
+                           step=state.step + 1)
+
+        val_logits = _squeeze(
+            gat.gat_model_apply(params, cfg, graph, training=False), task)
+        val = task.metrics(val_logits, graph, "val")
+        val_loss = val["loss"]
+
+        better = val_loss < best_val
+        best_params = jax.tree_util.tree_map(
+            lambda b, p: jnp.where(better, p, b), best_params, params)
+        best_val = jnp.where(better, val_loss, best_val)
+        best_epoch = jnp.where(better, state.step - 1, best_epoch)
+
+        row = {"train_loss": loss, "train_attention_norm": norm}
+        row.update({f"train_{k}": v
+                    for k, v in task.metrics(logits, graph, "train").items()
+                    if k != "loss"})
+        row.update({f"val_{k}": v for k, v in val.items()})
+        return (state, best_val, best_params, best_epoch), row
+
+    @jax.jit
+    def block(state: TrainState, best, graph: Graph):
+        carry = (state, *best)
+        carry, rows = jax.lax.scan(
+            partial(one_epoch, graph=graph), carry, None,
+            length=epochs_per_block)
+        state, *best = carry
+        return state, tuple(best), rows
+
+    return block
 
 
 def make_eval_step(cfg: gat.GATConfig, task: Task, phase: str) -> Callable:
@@ -132,6 +205,11 @@ class Trainer:
     seed: int = 0
     log_every: int = 0                   # 0 = silent
     metrics_file: Optional[str] = None   # JSONL stream (observability)
+    tensorboard_dir: Optional[str] = None  # TB event files (SURVEY §5.5)
+
+    def _logger(self):
+        from .logging import MetricsLogger
+        return MetricsLogger(self.metrics_file, self.tensorboard_dir)
 
     def init_state(self, tx) -> TrainState:
         rng = jax.random.key(self.seed)
@@ -161,7 +239,7 @@ class Trainer:
         history: List[Dict[str, float]] = []
         stopped = False
         t0 = time.time()
-        mf = open(self.metrics_file, "a") if self.metrics_file else None
+        logger = self._logger()
 
         try:
             for epoch in range(self.max_epochs):
@@ -178,9 +256,7 @@ class Trainer:
                 row["epoch"] = epoch
                 row["lr"] = lr
                 history.append(row)
-                if mf:
-                    mf.write(json.dumps(row) + "\n")
-                    mf.flush()
+                logger.log_scalars(epoch, row)
                 if self.log_every and epoch % self.log_every == 0:
                     print({k: (round(v, 4) if isinstance(v, float) else v)
                            for k, v in row.items()})
@@ -206,12 +282,69 @@ class Trainer:
                     stopped = True
                     break
         finally:
-            if mf:
-                mf.close()
+            logger.close()
 
         return TrainResult(params=best_params, final_params=state.params,
                            history=history, best_val_loss=best_val,
                            best_epoch=best_epoch, stopped_early=stopped,
+                           wall_time_s=time.time() - t0)
+
+    def fit_compiled(self, graph: Graph,
+                     epochs_per_block: int = 50,
+                     params: Optional[dict] = None) -> TrainResult:
+        """Transductive fit with lax.scan'd epoch blocks (one device
+        dispatch per `epochs_per_block` epochs). Semantics match fit():
+        same ModelCheckpoint/EarlyStopping decisions, evaluated from the
+        returned per-epoch metric arrays at block granularity."""
+        tx = O.adam_l2(self.learning_rate, self.weight_decay)
+        state = self.init_state(tx)
+        if params is not None:
+            state = dataclasses.replace(
+                state, params=params, opt_state=tx.init(params))
+        block = make_scanned_fit_block(self.cfg, self.task, tx,
+                                       epochs_per_block)
+
+        best = (jnp.float32(jnp.inf),
+                jax.tree_util.tree_map(lambda x: x, state.params),
+                jnp.int32(-1))
+        stopper = O.EarlyStopping(patience=self.patience)
+        history: List[Dict[str, float]] = []
+        stopped = False
+        t0 = time.time()
+        logger = self._logger()
+
+        try:
+            epoch = 0
+            while epoch < self.max_epochs and not stopped:
+                n = min(epochs_per_block, self.max_epochs - epoch)
+                if n < epochs_per_block:
+                    block = make_scanned_fit_block(self.cfg, self.task, tx, n)
+                state, best, rows = block(state, best, graph)
+                rows = {k: np.asarray(v) for k, v in rows.items()}
+                for i in range(n):
+                    row = {k: float(v[i]) for k, v in rows.items()}
+                    row["epoch"] = epoch + i
+                    history.append(row)
+                    logger.log_scalars(epoch + i, row)
+                    if self.log_every and (epoch + i) % self.log_every == 0:
+                        print({k: (round(v, 4) if isinstance(v, float)
+                                   else v) for k, v in row.items()})
+                    if stopper.update(row["val_loss"]):
+                        stopped = True
+                        break
+                epoch += n
+        finally:
+            logger.close()
+
+        best_val, best_params, best_epoch = best
+        if self.checkpoint_dir:
+            self.save_checkpoint(
+                dataclasses.replace(state, params=best_params),
+                int(best_epoch), float(best_val))
+        return TrainResult(params=best_params, final_params=state.params,
+                           history=history, best_val_loss=float(best_val),
+                           best_epoch=int(best_epoch),
+                           stopped_early=stopped,
                            wall_time_s=time.time() - t0)
 
     def evaluate(self, params, data: Sequence[Graph],

@@ -1,0 +1,76 @@
+"""Neighbor-sampled minibatching: sampler invariants + end-to-end training."""
+
+import numpy as np
+
+from gat_pytorch_tpu.data import sampling as S
+from gat_pytorch_tpu.models import gat
+from gat_pytorch_tpu.train.tasks import make_task
+from gat_pytorch_tpu.train.trainer import Trainer
+
+
+def random_graph(n=200, deg=8, nf=12, nc=4, seed=0):
+    rng = np.random.default_rng(seed)
+    senders = np.repeat(np.arange(n), deg)
+    receivers = rng.integers(0, n, n * deg)
+    x = rng.normal(size=(n, nf)).astype(np.float32)
+    y = rng.integers(0, nc, n).astype(np.int32)
+    return x, senders, receivers, y
+
+
+def test_sample_subgraph_edges_are_subset_and_fanout_respected():
+    x, s, r, y = random_graph()
+    csr = S.CSRGraph(s, r, x.shape[0])
+    rng = np.random.default_rng(0)
+    seeds = np.array([3, 50, 120])
+    fanouts = [4, 3]
+    nodes, ss, rr, seed_local = S.sample_subgraph(csr, seeds, fanouts, rng)
+
+    assert set(nodes[seed_local]) == set(seeds)
+    edge_set = set(zip(s.tolist(), r.tolist()))
+    for a, b in zip(nodes[ss], nodes[rr]):
+        assert (int(a), int(b)) in edge_set
+    # hop-1 fanout: each seed keeps at most 4 in-edges
+    for sl in seed_local:
+        assert int((rr == sl).sum()) <= fanouts[0]
+    # no duplicate edges (sampling without replacement)
+    assert len(set(zip(ss.tolist(), rr.tolist()))) == ss.size
+
+
+def test_batcher_static_buckets_and_masks():
+    x, s, r, y = random_graph()
+    seeds = np.arange(0, 100)
+    b = S.NeighborSampledBatcher(x, s, r, y, seeds, batch_size=16,
+                                 fanouts=(4, 4), seed=1)
+    batches = b.epoch(0)
+    assert len(batches) == len(b) == int(np.ceil(100 / 16))
+    shapes = {(g.num_nodes, g.num_edges) for g in batches}
+    assert len(shapes) == 1                      # one static bucket
+    for g in batches:
+        tm = np.asarray(g.train_mask)
+        nm = np.asarray(g.node_mask)
+        assert tm.sum() <= 16
+        assert (tm & ~nm).sum() == 0             # seeds are real nodes
+        g.validate()
+    # all seeds covered exactly once per epoch
+    total_seeds = sum(int(np.asarray(g.train_mask).sum()) for g in batches)
+    assert total_seeds == 100
+
+
+def test_training_on_sampled_batches_learns():
+    x, s, r, y = random_graph(seed=5)
+    # make labels learnable: label = feature argmax bucket
+    y = (x[:, :4]).argmax(1).astype(np.int32)
+    seeds = np.arange(0, 150)
+    batcher = S.NeighborSampledBatcher(x, s, r, y, seeds, batch_size=32,
+                                       fanouts=(5, 5), seed=2)
+    cfg = gat.GATConfig(
+        num_input_node_features=12, num_layers=2,
+        num_heads_per_layer=[2, 1], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[12, 8, 4], num_classes=4,
+        add_skip_connection=[False, False], dropout=0.0)
+    tr = Trainer(cfg=cfg, task=make_task("Cora"), learning_rate=1e-2,
+                 max_epochs=8, patience=100, seed=0)
+    val = batcher.epoch(999)[:1]
+    res = tr.fit(batcher.epoch(0), val, reshuffle=batcher.epoch)
+    losses = [h["train_loss"] for h in res.history]
+    assert losses[-1] < losses[0]
