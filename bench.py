@@ -101,13 +101,16 @@ def main() -> None:
         return jax.lax.scan(body, state, None, length=inner)
 
     state, losses = block(state, graph)   # compile + warmup
-    jax.block_until_ready(losses)
+    float(np.asarray(losses)[-1])
 
     iters = int(os.environ.get("GAT_TPU_BENCH_ITERS", "5"))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, losses = block(state, graph)
-    jax.block_until_ready(losses)
+    # force a host transfer of a value that depends on every step: on the
+    # tunneled backend block_until_ready has been observed to return
+    # before remote execution finishes, inflating throughput ~1000x
+    float(np.asarray(losses)[-1])
     dt = time.perf_counter() - t0
 
     e_real = int(np.asarray(graph.edge_mask).sum())

@@ -22,6 +22,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..graph import graphcore_binding as core
 from ..graph import transforms as T
 from ..graph.graph import Graph
 
@@ -58,15 +59,33 @@ def sample_subgraph(csr: CSRGraph,
     local = {n: i for i, n in enumerate(nodes)}
     sub_s: List[int] = []
     sub_r: List[int] = []
-    frontier = list(nodes)
+    frontier = np.asarray(nodes, dtype=np.int64)
+    use_native = core.native_available()
     for fanout in fanouts:
+        if use_native:
+            # native C++ fast path (csrc/graphcore.cpp gc_sample_neighbors;
+            # samples with replacement above the fanout — dedupe below
+            # keeps edges distinct, matching the numpy path's semantics)
+            src, dst = core.sample_neighbors(
+                csr.offsets, csr.senders, frontier, max(fanouts),
+                int(rng.integers(2 ** 62)))
+            pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+            per_v = {}
+            for u, v in pairs:
+                per_v.setdefault(int(v), []).append(int(u))
+            hop = [(v, rng.permutation(np.asarray(us))[:fanout])
+                   for v, us in per_v.items()]
+        else:
+            hop = []
+            for v in frontier:
+                nbrs = np.unique(csr.in_edges(int(v)))
+                if nbrs.size == 0:
+                    continue
+                if nbrs.size > fanout:
+                    nbrs = rng.choice(nbrs, size=fanout, replace=False)
+                hop.append((int(v), nbrs))
         nxt: List[int] = []
-        for v in frontier:
-            nbrs = np.unique(csr.in_edges(v))  # collapse parallel edges
-            if nbrs.size == 0:
-                continue
-            if nbrs.size > fanout:
-                nbrs = rng.choice(nbrs, size=fanout, replace=False)
+        for v, nbrs in hop:
             for u in nbrs:
                 u = int(u)
                 if u not in local:
@@ -75,7 +94,7 @@ def sample_subgraph(csr: CSRGraph,
                     nxt.append(u)
                 sub_s.append(local[u])
                 sub_r.append(local[v])
-        frontier = nxt
+        frontier = np.asarray(nxt, dtype=np.int64)
     seed_local = np.array([local[int(s)] for s in seeds], dtype=np.int64)
     return (np.asarray(nodes, dtype=np.int64),
             np.asarray(sub_s, dtype=np.int64),

@@ -52,6 +52,10 @@ def _resolve_backend(backend: str) -> str:
     if backend not in _VALID_BACKENDS:
         raise ValueError(f"backend must be one of {_VALID_BACKENDS}")
     if backend == "auto":
+        import os
+        env = os.environ.get("GAT_TPU_BACKEND")
+        if env in _VALID_BACKENDS and env != "auto":
+            return env
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return backend
 

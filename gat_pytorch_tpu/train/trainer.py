@@ -347,6 +347,75 @@ class Trainer:
                            stopped_early=stopped,
                            wall_time_s=time.time() - t0)
 
+    def fit_sharded(self,
+                    mesh,
+                    train_data: Sequence[Graph],
+                    val_data: Sequence[Graph],
+                    reshuffle: Optional[Callable[[int],
+                                                 Sequence[Graph]]] = None
+                    ) -> TrainResult:
+        """fit() over a (data, edge) device mesh: consecutive same-bucket
+        batches are stacked `data`-axis-wide and each step runs the SPMD
+        shard_map program (parallel/train.py). DDP-style wrap-around when
+        the batch count doesn't divide the data-axis size."""
+        from ..parallel import (make_sharded_eval_step,
+                                make_sharded_train_step, put_batch,
+                                replicated, stack_graphs)
+        from ..parallel.mesh import DATA_AXIS
+
+        dp = mesh.shape[DATA_AXIS]
+
+        def group(batches):
+            out = []
+            for i in range(0, len(batches), dp):
+                chunk = list(batches[i:i + dp])
+                while len(chunk) < dp:           # wrap-around fill
+                    chunk.append(batches[len(chunk) % len(batches)])
+                out.append(put_batch(stack_graphs(chunk), mesh))
+            return out
+
+        tx = O.adam_l2(self.learning_rate, self.weight_decay)
+        state = replicated(self.init_state(tx), mesh)
+        train_step = make_sharded_train_step(self.cfg, self.task, tx, mesh)
+        val_step = make_sharded_eval_step(self.cfg, self.task, mesh, "val")
+        val_groups = group(list(val_data))
+
+        stopper = O.EarlyStopping(patience=self.patience)
+        best_val, best_epoch = float("inf"), -1
+        best_params = state.params
+        history: List[Dict[str, float]] = []
+        stopped = False
+        t0 = time.time()
+        logger = self._logger()
+        try:
+            for epoch in range(self.max_epochs):
+                batches = group(list(reshuffle(epoch) if reshuffle
+                                     else train_data))
+                mets = []
+                for b in batches:
+                    state, m = train_step(state, b)
+                    mets.append(m)
+                vals = [val_step(state.params, b) for b in val_groups]
+                row = _mean_metrics(mets)
+                row.update({f"val_{k}": v
+                            for k, v in _mean_metrics(vals).items()})
+                row["epoch"] = epoch
+                history.append(row)
+                logger.log_scalars(epoch, row)
+                if row["val_loss"] < best_val:
+                    best_val, best_epoch = row["val_loss"], epoch
+                    best_params = jax.tree_util.tree_map(lambda x: x,
+                                                         state.params)
+                if stopper.update(row["val_loss"]):
+                    stopped = True
+                    break
+        finally:
+            logger.close()
+        return TrainResult(params=best_params, final_params=state.params,
+                           history=history, best_val_loss=best_val,
+                           best_epoch=best_epoch, stopped_early=stopped,
+                           wall_time_s=time.time() - t0)
+
     def evaluate(self, params, data: Sequence[Graph],
                  phase: str = "test") -> Dict[str, float]:
         step = make_eval_step(self.cfg, self.task, phase)
@@ -355,22 +424,57 @@ class Trainer:
                     [step(params, g) for g in data]).items()}
 
     # -- checkpointing (Orbax) --------------------------------------------
+    # Same logical content as the reference's Lightning ckpts (SURVEY.md
+    # §5.4: weights + Adam moments + epoch/step + monitored metric), so a
+    # restore resumes training exactly, not just inference.
     def save_checkpoint(self, state: TrainState, epoch: int,
                         best_val: float) -> None:
         import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(self.checkpoint_dir, "best"))
         ckptr = ocp.StandardCheckpointer()
         payload = {"params": state.params,
+                   "opt_state": state.opt_state,
+                   "rng": jax.random.key_data(state.rng),
+                   "step": state.step,
                    "epoch": jnp.int32(epoch),
                    "best_val_loss": jnp.float32(best_val)}
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 
     @staticmethod
-    def load_checkpoint(checkpoint_dir: str, like: dict) -> dict:
+    def load_checkpoint(checkpoint_dir: str, like: dict,
+                        opt_state_like=None) -> dict:
+        """Restore a checkpoint. `like`: a params pytree with the target
+        structure; `opt_state_like`: optional optimizer-state structure
+        for full-state resume (omit for inference-only restore)."""
         import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(checkpoint_dir, "best"))
         ckptr = ocp.StandardCheckpointer()
-        target = {"params": like, "epoch": jnp.int32(0),
+        target = {"params": like,
+                  "opt_state": opt_state_like,
+                  "rng": jnp.zeros(2, jnp.uint32),
+                  "step": jnp.int32(0),
+                  "epoch": jnp.int32(0),
                   "best_val_loss": jnp.float32(0)}
-        return ckptr.restore(path, target)
+        if opt_state_like is None:
+            restored = ckptr.restore(path, None)
+            restored["params"] = jax.tree_util.tree_map(
+                lambda l, r: jnp.asarray(r, l.dtype), like,
+                restored["params"])
+            return restored
+        out = ckptr.restore(path, target)
+        out["rng"] = jax.random.wrap_key_data(jnp.asarray(out["rng"],
+                                                          jnp.uint32))
+        return out
+
+    def resume_state(self, tx, checkpoint_dir: Optional[str] = None
+                     ) -> "TrainState":
+        """TrainState rebuilt from a saved checkpoint (full resume)."""
+        ckpt_dir = checkpoint_dir or self.checkpoint_dir
+        params_like = gat.init_gat_model(jax.random.key(self.seed), self.cfg)
+        restored = self.load_checkpoint(ckpt_dir, params_like,
+                                        opt_state_like=tx.init(params_like))
+        return TrainState(params=restored["params"],
+                          opt_state=restored["opt_state"],
+                          rng=restored["rng"],
+                          step=jnp.asarray(restored["step"], jnp.int32))

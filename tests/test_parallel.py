@@ -159,3 +159,28 @@ def test_dryrun_multichip_entrypoint():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert out.shape[-1] == 7
+
+
+def test_fit_sharded_end_to_end(mesh):
+    """Trainer.fit_sharded over the virtual mesh: loss decreases and
+    early-stop/best-checkpoint bookkeeping works."""
+    from gat_pytorch_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg()
+    task = make_task("PPI")
+    graphs = [tiny_batch(1, seed=i) for i in range(8)]
+    flat = [jax.tree_util.tree_map(lambda x: x[0], g) for g in graphs]
+    tr = Trainer(cfg=cfg, task=task, learning_rate=1e-2, max_epochs=6,
+                 patience=100, seed=0)
+    res = tr.fit_sharded(mesh, flat[:6], flat[6:])
+    assert len(res.history) == 6
+    losses = [h["train_loss"] for h in res.history]
+    assert losses[-1] < losses[0]
+    assert res.best_epoch >= 0
+
+
+def test_multihost_pod_mesh_single_process():
+    from gat_pytorch_tpu.parallel import multihost
+    mesh = multihost.pod_mesh(edge_per_host=4)
+    assert mesh.shape["data"] == 2 and mesh.shape["edge"] == 4
+    multihost.initialize()  # no-op single process
