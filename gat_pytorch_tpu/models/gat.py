@@ -283,7 +283,44 @@ class GATConfig:
     const_attention: bool = False
     paper_faithful: bool = False
 
+    def validate(self) -> None:
+        """Shape-consistency checks with actionable messages (the
+        reference fails deep inside layer construction instead)."""
+        nl = self.num_layers
+        if len(self.num_heads_per_layer) != nl:
+            raise ValueError(
+                f"num_heads_per_layer has {len(self.num_heads_per_layer)} "
+                f"entries, need num_layers={nl}")
+        if len(self.heads_concat_per_layer) != nl:
+            raise ValueError(
+                f"heads_concat_per_layer has "
+                f"{len(self.heads_concat_per_layer)} entries, need {nl}")
+        if len(self.head_output_features_per_layer) != nl + 1:
+            raise ValueError(
+                f"head_output_features_per_layer has "
+                f"{len(self.head_output_features_per_layer)} entries, need "
+                f"num_layers+1={nl + 1} (entry 0 is the input width)")
+        if len(self.add_skip_connection) != nl:
+            raise ValueError(
+                f"add_skip_connection has {len(self.add_skip_connection)} "
+                f"entries, need {nl}")
+        if self.head_output_features_per_layer[0] != \
+                self.num_input_node_features:
+            raise ValueError(
+                "head_output_features_per_layer[0] "
+                f"({self.head_output_features_per_layer[0]}) must equal "
+                f"num_input_node_features ({self.num_input_node_features})")
+        tail_heads = self.num_heads_per_layer[-1]
+        tail_f = self.head_output_features_per_layer[-1]
+        out_dim = (tail_heads * tail_f if self.heads_concat_per_layer[-1]
+                   else tail_f)
+        if out_dim != self.num_classes:
+            raise ValueError(
+                f"final layer produces {out_dim} features but "
+                f"num_classes={self.num_classes}")
+
     def layer_configs(self) -> List[GATLayerConfig]:
+        self.validate()
         heads = [1] + list(self.num_heads_per_layer)  # reference :57
         cfgs = []
         for i in range(self.num_layers):

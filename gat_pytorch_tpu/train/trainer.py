@@ -206,10 +206,30 @@ class Trainer:
     log_every: int = 0                   # 0 = silent
     metrics_file: Optional[str] = None   # JSONL stream (observability)
     tensorboard_dir: Optional[str] = None  # TB event files (SURVEY §5.5)
+    track_grads: bool = False            # gradient histograms (reference
+    #                                      GATModel.on_after_backward,
+    #                                      :237-253), logged every
+    #                                      max(log_every, 1) epochs
 
     def _logger(self):
         from .logging import MetricsLogger
         return MetricsLogger(self.metrics_file, self.tensorboard_dir)
+
+    def _log_grad_histograms(self, logger, epoch: int, state: TrainState,
+                             graph: Graph) -> None:
+        if not (self.track_grads and self.tensorboard_dir):
+            return
+
+        def loss_only(params, g, rng):
+            out = gat.gat_model_apply(params, self.cfg, g, rng=rng,
+                                      training=True)
+            return self.task.loss(_squeeze(out, self.task), g, "train")
+
+        grads = jax.jit(jax.grad(loss_only))(state.params, graph, state.rng)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+            name = "grad/" + "/".join(str(getattr(p, "key", getattr(
+                p, "idx", p))) for p in path)
+            logger.log_histogram(epoch, name, np.asarray(leaf))
 
     def init_state(self, tx) -> TrainState:
         rng = jax.random.key(self.seed)
@@ -257,6 +277,9 @@ class Trainer:
                 row["lr"] = lr
                 history.append(row)
                 logger.log_scalars(epoch, row)
+                if epoch % max(self.log_every, 1) == 0:
+                    self._log_grad_histograms(logger, epoch, state,
+                                              batches[0])
                 if self.log_every and epoch % self.log_every == 0:
                     print({k: (round(v, 4) if isinstance(v, float) else v)
                            for k, v in row.items()})

@@ -62,3 +62,31 @@ def test_metrics_logger_jsonl_and_tensorboard(tmp_path):
     lines = [json.loads(l) for l in open(jl)]
     assert len(lines) == 2 and lines[1]["train_loss"] == 0.5
     assert any(p.name.startswith("events") for p in tb.iterdir())
+
+
+def test_track_grads_histograms(tmp_path):
+    from gat_pytorch_tpu.graph import transforms as T
+    from gat_pytorch_tpu.models import gat as G
+    from gat_pytorch_tpu.train.tasks import make_task
+    from gat_pytorch_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(2)
+    n = 48
+    senders = np.repeat(np.arange(n), 3)
+    receivers = rng.integers(0, n, n * 3)
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    y = rng.integers(0, 2, n).astype(np.int32)
+    m = np.ones(n, bool)
+    graph = T.canonicalize(x, senders, receivers, y=y, train_mask=m,
+                           val_mask=m, test_mask=m)
+    cfg = G.GATConfig(
+        num_input_node_features=6, num_layers=1,
+        num_heads_per_layer=[2], heads_concat_per_layer=[False],
+        head_output_features_per_layer=[6, 2], num_classes=2,
+        add_skip_connection=[False], dropout=0.0)
+    tr = Trainer(cfg=cfg, task=make_task("Cora"), learning_rate=1e-2,
+                 max_epochs=2, tensorboard_dir=str(tmp_path / "tb"),
+                 track_grads=True, log_every=1)
+    tr.fit([graph], [graph])
+    assert any(p.name.startswith("events")
+               for p in (tmp_path / "tb").iterdir())

@@ -131,7 +131,7 @@ def test_attention_norm_matches_manual():
     cfg = gat.GATConfig(
         num_input_node_features=6, num_layers=1, num_heads_per_layer=[2],
         heads_concat_per_layer=[True], head_output_features_per_layer=[6, 4],
-        num_classes=4, add_skip_connection=[False], dropout=0.0)
+        num_classes=8, add_skip_connection=[False], dropout=0.0)
     params = gat.init_gat_model(jax.random.key(1), cfg)
     _, att = gat.gat_model_apply(params, cfg, graph, return_attention=True)
     norm = gat.calc_attention_norm(graph, att)
@@ -173,7 +173,7 @@ def test_dropout_active_only_in_training():
     cfg = gat.GATConfig(
         num_input_node_features=8, num_layers=1, num_heads_per_layer=[2],
         heads_concat_per_layer=[True], head_output_features_per_layer=[8, 4],
-        num_classes=4, add_skip_connection=[False], dropout=0.5)
+        num_classes=8, add_skip_connection=[False], dropout=0.5)
     params = gat.init_gat_model(jax.random.key(3), cfg)
     eval_out = gat.gat_model_apply(params, cfg, graph, training=False)
     eval_out2 = gat.gat_model_apply(params, cfg, graph, training=False)
@@ -183,3 +183,25 @@ def test_dropout_active_only_in_training():
     tr2 = gat.gat_model_apply(params, cfg, graph, training=True,
                               rng=jax.random.key(1))
     assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+
+
+def test_gatconfig_validation_messages():
+    import pytest as _pytest
+    from gat_pytorch_tpu.models.gat import GATConfig
+
+    good = dict(num_input_node_features=8, num_layers=2,
+                num_heads_per_layer=[2, 1],
+                heads_concat_per_layer=[True, False],
+                head_output_features_per_layer=[8, 4, 3], num_classes=3,
+                add_skip_connection=[False, False])
+    GATConfig(**good).validate()
+
+    bad = dict(good, num_heads_per_layer=[2])
+    with _pytest.raises(ValueError, match="num_heads_per_layer"):
+        GATConfig(**bad).validate()
+    bad = dict(good, num_classes=7)
+    with _pytest.raises(ValueError, match="num_classes=7"):
+        GATConfig(**bad).validate()
+    bad = dict(good, head_output_features_per_layer=[9, 4, 3])
+    with _pytest.raises(ValueError, match="num_input_node_features"):
+        GATConfig(**bad).validate()
