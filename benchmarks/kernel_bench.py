@@ -24,7 +24,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_case(num_nodes, num_edges, nh, f, backend, grad, iters=10):
+def run_case(num_nodes, num_edges, nh, f, backend, grad, iters=10,
+             eb=256, nb=128):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +47,7 @@ def run_case(num_nodes, num_edges, nh, f, backend, grad, iters=10):
     def op(lg, hs):
         if backend == "pallas":
             out = fsa.fused_segment_attention(
-                lg, hs, recv_d, None, num_nodes, nh, f, 1e-8, 256, 128,
+                lg, hs, recv_d, None, num_nodes, nh, f, 1e-8, eb, nb,
                 jax.default_backend() not in ("tpu", "axon"))
         else:
             out = fsa.reference_segment_attention(
@@ -73,7 +74,7 @@ def run_case(num_nodes, num_edges, nh, f, backend, grad, iters=10):
     bw = float(os.environ.get("GAT_TPU_HBM_GBS", "819")) * 1e9
     sol_t = bytes_ / bw
     return {"backend": backend, "nodes": num_nodes, "edges": num_edges,
-            "nh": nh, "f": f, "grad": grad,
+            "nh": nh, "f": f, "grad": grad, "eb": eb, "nb": nb,
             "ms": round(dt * 1e3, 3),
             "edges_per_s": round(num_edges / dt, 1),
             "sol_fraction": round(sol_t / dt, 4)}
@@ -87,6 +88,8 @@ def main(argv=None):
     p.add_argument("--f", type=int, default=16)
     p.add_argument("--grad", action="store_true")
     p.add_argument("--backends", nargs="*", default=["xla", "pallas"])
+    p.add_argument("--eb", type=int, default=256)
+    p.add_argument("--nb", type=int, default=128)
     args = p.parse_args(argv)
 
     if args.nodes:
@@ -97,7 +100,8 @@ def main(argv=None):
     for n, e in cases:
         for backend in args.backends:
             print(json.dumps(run_case(n, e, args.nh, args.f, backend,
-                                      args.grad)), flush=True)
+                                      args.grad, eb=args.eb, nb=args.nb)),
+                  flush=True)
     return 0
 
 

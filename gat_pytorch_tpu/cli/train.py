@@ -40,7 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force synthetic data even if real files exist")
     p.add_argument("--metrics_file", default=None,
                    help="JSONL stream of per-epoch metrics")
+    p.add_argument("--tensorboard_dir", default=None)
+    p.add_argument("--track_grads", action="store_true", default=None,
+                   help="gradient histograms to TensorBoard")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--backend", default=None,
+                   choices=["auto", "xla", "pallas"],
+                   help="segment-attention compute backend")
+    p.add_argument("--sampling_fanouts", default=None,
+                   help="neighbor-sampled minibatch training, e.g. '10,10'"
+                        " (transductive datasets)")
+    p.add_argument("--sampling_batch_size", type=int, default=None)
     return p
 
 
@@ -56,13 +66,27 @@ def run(config) -> dict:
     task = make_task(name, attention_reward=config.attention_reward,
                      attention_penalty=config.attention_penalty)
     synth = config.synthetic
+    if config.backend and config.backend != "auto":
+        # _resolve_backend consults this env override (models/gat.py)
+        os.environ["GAT_TPU_BACKEND"] = config.backend
 
+    sampled = None
     if name in ("Cora", "Citeseer", "Pubmed"):
         raw = datasets.load_planetoid(name, synthetic_override=synth,
                                       seed=config.seed)
         g = loader.transductive_graph(raw)
         train_data, val_data, test_data = [g], [g], [g]
         reshuffle = None
+        if config.sampling_fanouts:
+            from ..data.sampling import NeighborSampledBatcher
+            import numpy as np
+            fanouts = [int(v) for v in config.sampling_fanouts.split(",")]
+            seeds = np.nonzero(raw.train_mask)[0]
+            sampled = NeighborSampledBatcher(
+                raw.x, raw.senders, raw.receivers, raw.y, seeds,
+                config.sampling_batch_size, fanouts, seed=config.seed)
+            train_data = sampled.epoch(0)
+            reshuffle = sampled.epoch
     elif name == "PPI":
         train = datasets.load_ppi("train", synth, config.seed)
         val = datasets.load_ppi("val", synth, config.seed)
@@ -96,7 +120,9 @@ def run(config) -> dict:
                       patience=config.patience, plateau=plateau,
                       checkpoint_dir=ckpt_dir, seed=config.seed,
                       log_every=config.log_every,
-                      metrics_file=config.metrics_file)
+                      metrics_file=config.metrics_file,
+                      tensorboard_dir=config.tensorboard_dir,
+                      track_grads=config.track_grads)
 
     if config.exec_type == "load":
         if not ckpt_dir or not os.path.exists(os.path.join(ckpt_dir, "best")):
@@ -108,9 +134,9 @@ def run(config) -> dict:
         params = Trainer.load_checkpoint(ckpt_dir, like)["params"]
         metrics = trainer.evaluate(params, test_data)
     else:
-        if name in ("Cora", "Citeseer", "Pubmed"):
-            # transductive: one graph/epoch -> scan whole epoch blocks
-            # on-device (one dispatch per 50 epochs)
+        if name in ("Cora", "Citeseer", "Pubmed") and sampled is None:
+            # transductive full-graph: one graph/epoch -> scan whole epoch
+            # blocks on-device (one dispatch per 50 epochs)
             result = trainer.fit_compiled(train_data[0])
         else:
             result = trainer.fit(train_data, val_data, reshuffle=reshuffle)

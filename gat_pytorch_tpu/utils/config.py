@@ -41,6 +41,12 @@ class RunConfig:
     synthetic: Optional[bool] = None      # None = auto (real if present)
     log_every: int = 0
     metrics_file: Optional[str] = None
+    tensorboard_dir: Optional[str] = None
+    track_grads: bool = False             # reference GATModel.py:36
+    backend: str = "auto"                 # auto | xla | pallas (hot path)
+    # neighbor-sampled minibatching (transductive only); e.g. "10,10"
+    sampling_fanouts: Optional[str] = None
+    sampling_batch_size: int = 128
 
     def gat_config(self) -> GATConfig:
         return GATConfig(
