@@ -139,7 +139,9 @@ def run(config) -> dict:
             # blocks on-device (one dispatch per 50 epochs)
             result = trainer.fit_compiled(train_data[0])
         else:
-            result = trainer.fit(train_data, val_data, reshuffle=reshuffle)
+            # inductive / sampled: scan each epoch's minibatches on-device
+            result = trainer.fit_scanned_epochs(train_data, val_data,
+                                                reshuffle=reshuffle)
         metrics = trainer.evaluate(result.params, test_data)
         metrics["best_val_loss"] = result.best_val_loss
         metrics["best_epoch"] = result.best_epoch

@@ -185,18 +185,22 @@ def gat_layer_apply(params: Params,
         logits = jax.nn.leaky_relu(logits, negative_slope=cfg.slope)
 
     # ---- fused Pallas path: steps (3)-(5) in one kernel pass ------------
-    # eligible whenever alpha itself isn't needed host-side and edges are
-    # not sharded (the sharded path psums partials; fused variant later)
+    # eligible whenever alpha itself isn't needed host-side; with
+    # edge-sharded graphs the UNNORMALISED partial kernel runs per shard
+    # and psum over `edge_axis` completes cut neighbourhoods
     use_fused = (_resolve_backend(backend) == "pallas"
-                 and not return_attention
-                 and edge_axis is None)
+                 and not return_attention)
     if use_fused:
+        eps = 0.0 if cfg.paper_faithful else 1e-8
+        interpret = jax.default_backend() != "tpu"
         masked_logits = jnp.where(edge_mask[:, None], logits, fsa.NEG_INF)
         if cfg.paper_faithful:
             # pre-subtract the per-segment max (detached) in XLA; the
             # kernel then only needs exp->denom->aggregate
             seg_max = jax.lax.stop_gradient(
                 seg.segment_max(masked_logits, receivers, num_nodes))
+            if edge_axis is not None:
+                seg_max = jax.lax.pmax(seg_max, edge_axis)
             seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
             masked_logits = jnp.where(
                 edge_mask[:, None],
@@ -206,15 +210,26 @@ def gat_layer_apply(params: Params,
         if training and cfg.dropout > 0.0:
             if rng is None:
                 raise ValueError("rng required for attention dropout")
+            if edge_axis is not None:
+                rng = jax.random.fold_in(rng,
+                                         jax.lax.axis_index(edge_axis))
             keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout,
                                         (E, nh))
             drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
         h_src_flat = seg.gather_rows(h_flat, senders)         # (E, NH*F)
-        out = fsa.fused_segment_attention(
-            masked_logits, h_src_flat, receivers, drop_mask,
-            num_nodes, nh, f,
-            0.0 if cfg.paper_faithful else 1e-8,
-            256, 128, jax.default_backend() != "tpu")
+        if edge_axis is None:
+            out = fsa.fused_segment_attention(
+                masked_logits, h_src_flat, receivers, drop_mask,
+                num_nodes, nh, f, eps, 256, 128, interpret)
+        else:
+            num, denom = fsa.fused_segment_attention_partial(
+                masked_logits, h_src_flat, receivers, drop_mask,
+                num_nodes, nh, f, 256, 128, interpret, (edge_axis,))
+            num = jax.lax.psum(num, edge_axis)
+            denom = jax.lax.psum(denom, edge_axis)
+            inv = jnp.where(denom > 0.0, 1.0 / (denom + eps), 0.0)
+            out = (num.reshape(num_nodes, nh, f)
+                   * inv[:, :, None]).reshape(num_nodes, nh * f)
         if cfg.concat:
             out = out.reshape(num_nodes, nh * f)
         else:

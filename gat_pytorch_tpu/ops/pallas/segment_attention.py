@@ -48,19 +48,26 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _kernel(tile_off_ref,          # scalar prefetch: (T+1,) int32
-            logits_hbm, h_hbm, recv_hbm, drop_hbm,   # HBM, edge-major lanes
-            out_ref, denom_ref,    # VMEM outputs, blocked per node tile
-            logits_buf, h_buf, recv_buf, drop_buf, sems,
+            packed_hbm,            # (R, E_pad) f32, edge-major lanes
+            acc_ref,               # VMEM output (NHF8+NH8, NB) per tile:
+            #                        rows [0, NHF8) numerator, rows
+            #                        [NHF8, NHF8+NH8) denominator
+            buf, sems,
             *, eb: int, nb: int, nh: int, f: int, nh8: int, nhf8: int,
-            eps: float, with_dropout: bool):
-    """All edge arrays are TRANSPOSED — the edge axis is the lane (minor)
-    dimension: logits (NH8, E), h (NHF8, E), recv (8, E). Every DMA slice
-    is then [full-sublanes, EB lanes] with EB a multiple of 128 and the
-    sublane counts padded to multiples of 8 — the f32 (8, 128) tile is
-    the only granularity Mosaic slices at (an (EB, NH) layout would need
-    sub-128 lane slices; NH*F=7 would need sub-8 sublane slices).
-    Padding head/feature rows carry -inf logits (exp = 0) or zeros, so
-    they contribute nothing. Outputs transposed too: (NHF8, N)/(NH8, N).
+            eps: float, with_dropout: bool, normalize: bool = True):
+    """The edge data arrives PACKED and TRANSPOSED: one f32 array whose
+    lane (minor) axis is the edge axis and whose rows stack
+        [0, NHF8)                        gathered source features h
+        [NHF8, NHF8+NH8)                 logits (pad rows/edges -inf)
+        [NHF8+NH8, NHF8+2*NH8)           dropout keep-mask (optional)
+        last 8 rows (row 0 meaningful)   receiver ids as f32 (exact for
+                                         ids < 2^24)
+    One array means ONE dma per edge block — descriptor issue overhead,
+    not bandwidth, dominates this kernel at small tile counts, so
+    minimising DMA count is the first-order optimisation. Every slice is
+    [all-rows, EB lanes] with EB a multiple of 128 and row counts padded
+    to multiples of 8 (f32 tile granularity — sub-tile slices are
+    unsupported). Output transposed too: (NHF8+NH8, N).
     """
     i = pl.program_id(0)
     # align the tile's first block down to an EB boundary: DMA starts must
@@ -78,77 +85,65 @@ def _kernel(tile_off_ref,          # scalar prefetch: (T+1,) int32
     expander = ((exp_cols // f == exp_rows)
                 & (exp_rows < nh) & (exp_cols < nh * f)).astype(jnp.float32)
 
-    out_ref[:] = jnp.zeros_like(out_ref)
-    denom_ref[:] = jnp.zeros_like(denom_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
 
     nbuf = 2  # double buffer
 
     def dma(slot, b):
         start = pl.multiple_of(lo + b * eb, eb)
-        cps = [
-            pltpu.make_async_copy(logits_hbm.at[:, pl.ds(start, eb)],
-                                  logits_buf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(h_hbm.at[:, pl.ds(start, eb)],
-                                  h_buf.at[slot], sems.at[slot, 1]),
-            pltpu.make_async_copy(recv_hbm.at[:, pl.ds(start, eb)],
-                                  recv_buf.at[slot], sems.at[slot, 2]),
-        ]
-        if with_dropout:
-            cps.append(
-                pltpu.make_async_copy(drop_hbm.at[:, pl.ds(start, eb)],
-                                      drop_buf.at[slot], sems.at[slot, 3]))
-        return cps
+        return pltpu.make_async_copy(packed_hbm.at[:, pl.ds(start, eb)],
+                                     buf.at[slot], sems.at[slot])
 
     @pl.when(nblocks > 0)
     def _():
-        for cp in dma(0, 0):
-            cp.start()
+        dma(0, 0).start()
 
     def body(b, _):
         slot = b % nbuf
 
         @pl.when(b + 1 < nblocks)
         def _():
-            for cp in dma((b + 1) % nbuf, b + 1):
-                cp.start()
+            dma((b + 1) % nbuf, b + 1).start()
 
-        for cp in dma(slot, b):
-            cp.wait()
+        dma(slot, b).wait()
 
-        ex_t = jnp.exp(logits_buf[slot])                    # (NH8, EB)
+        block = buf[slot]                                   # (R, EB)
+        h_t = block[0:nhf8, :]
+        ex_t = jnp.exp(block[nhf8:nhf8 + nh8, :])           # (NH8, EB)
+        recv_row = block[block.shape[0] - 8:block.shape[0] - 7, :]
         # one-hot^T of receiver vs this tile's node range; edges whose
-        # receiver is outside the tile (block overrun) vanish here.
-        # recv is padded to 8 sublanes; only row 0 is meaningful.
-        recv_row = recv_buf[slot][0:1, :]                   # (1, EB)
-        rows = i * nb + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+        # receiver is outside the tile (block overrun) vanish here
+        rows = (i * nb
+                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                ).astype(jnp.float32)
         onehot_t = (recv_row == rows).astype(jnp.float32)   # (NB, EB)
-
-        sum_eb_rhs = (((1,), (1,)), ((), ()))   # contract the edge axis
-        denom_ref[:] += jax.lax.dot_general(
-            ex_t, onehot_t, sum_eb_rhs,
-            preferred_element_type=jnp.float32)             # (NH8, NB)
 
         num_t = ex_t
         if with_dropout:
-            num_t = num_t * drop_buf[slot]
+            num_t = num_t * block[nhf8 + nh8:nhf8 + 2 * nh8, :]
         num_wide = jax.lax.dot_general(
             expander, num_t, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (NHF8, EB)
-        weighted_t = h_buf[slot] * num_wide
-        out_ref[:] += jax.lax.dot_general(
-            weighted_t, onehot_t, sum_eb_rhs,
-            preferred_element_type=jnp.float32)             # (NHF8, NB)
+        weighted_t = h_t * num_wide
+        # ONE fused contraction for numerator AND denominator: the ex
+        # rows ride along under the weighted features, so the EB-deep
+        # matmul (the kernel's dominant MXU cost) runs once per block
+        combined = jnp.concatenate([weighted_t, ex_t], axis=0)
+        acc_ref[:] += jax.lax.dot_general(
+            combined, onehot_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (NHF8+NH8, NB)
         return 0
 
     jax.lax.fori_loop(0, nblocks, body, 0)
 
-    # empty segments (padding nodes, eps=0 faithful mode) -> 0, not 0*inf
-    d = denom_ref[:]                                        # (NH8, NB)
-    inv = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
-    inv_wide = jax.lax.dot_general(
-        expander, inv, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # (NHF8, NB)
-    out_ref[:] = out_ref[:] * inv_wide
+    if normalize:
+        # empty segments (padding, eps=0 faithful mode) -> 0, not 0*inf
+        d = acc_ref[nhf8:, :]                               # (NH8, NB)
+        inv = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
+        inv_wide = jax.lax.dot_general(
+            expander, inv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHF8, NB)
+        acc_ref[:nhf8, :] = acc_ref[:nhf8, :] * inv_wide
 
 
 def _forward(logits: jax.Array,       # (E, NH) post-LeakyReLU/cap; pad=-inf
@@ -156,29 +151,49 @@ def _forward(logits: jax.Array,       # (E, NH) post-LeakyReLU/cap; pad=-inf
              receivers: jax.Array,    # (E,) int32, dst-sorted
              drop_mask: Optional[jax.Array],  # (E, NH) prescaled keep mask
              num_nodes: int, nh: int, f: int,
-             *, eps: float, eb: int, nb: int, interpret: bool):
+             *, eps: float, eb: int, nb: int, interpret: bool,
+             normalize: bool = True,
+             vma: tuple = ()):
+    """vma: mesh axis names this call varies over — required by
+    shard_map's varying-axes checker when the kernel runs per edge shard
+    (jax.ShapeDtypeStruct(vma=...) on the pallas_call outputs). The
+    compiled path traces the kernel body with vma checking disabled
+    (jax pallas_call internals), so only the boundary needs annotating;
+    interpret mode inlines the kernel and trips the checker — run
+    interpret-mode shard_map tests with check_vma=False, forward only."""
     e = logits.shape[0]
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
     nh8 = _round_up(nh, 8)
     nhf8 = _round_up(nh * f, 8)
 
-    # transpose to edge-major lanes; pad the edge axis by EB so the last
-    # block's overrun read stays in-bounds, and the sublane axes to
-    # multiples of 8 (f32 tile granularity — see _kernel docstring)
-    def pad_t(a_t, rows, fill):
-        return jnp.pad(a_t, ((0, rows - a_t.shape[0]), (0, eb)),
+    with_dropout = drop_mask is not None
+    rows_total = nhf8 + nh8 + (nh8 if with_dropout else 0) + 8
+
+    # pack everything edge-major into ONE f32 array (single DMA per edge
+    # block — see _kernel docstring); pad the edge axis by EB so the last
+    # block's overrun read stays in-bounds
+    def pad_rows(a_t, rows, fill):
+        return jnp.pad(a_t, ((0, rows - a_t.shape[0]), (0, 0)),
                        constant_values=fill)
 
-    logits_p = pad_t(logits.T, nh8, NEG_INF)                 # (NH8, E+EB)
-    h_p = pad_t(h_src.T, nhf8, 0.0)                          # (NHF8, E+EB)
-    recv_p = pad_t(receivers.astype(jnp.int32)[None, :], 8, num_nodes)
-    with_dropout = drop_mask is not None
-    drop_p = pad_t(drop_mask.T, nh8, 0.0) if with_dropout else \
-        jnp.zeros((nh8, 1), jnp.float32)
+    parts = [pad_rows(h_src.T, nhf8, 0.0),
+             pad_rows(logits.T, nh8, NEG_INF)]
+    if with_dropout:
+        parts.append(pad_rows(drop_mask.T, nh8, 0.0))
+    parts.append(pad_rows(receivers.astype(jnp.float32)[None, :], 8,
+                          num_nodes))
+    packed = jnp.concatenate(parts, axis=0)                  # (R, E)
+    packed = jnp.pad(packed, ((0, 0), (0, eb)))              # edge overrun
+    # overrun edges: zero rows everywhere, INCLUDING logits -> exp(0)=1,
+    # but their receiver row is 0.0 == node 0 only in tile 0... make them
+    # inert by forcing the overrun receivers out of range instead
+    packed = packed.at[rows_total - 8, e:].set(jnp.float32(n_pad))
 
     # per-tile contiguous edge ranges (receivers ascending)
     bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
+    if vma:
+        bounds = jax.lax.pcast(bounds, tuple(vma), to="varying")
     tile_off = jnp.searchsorted(receivers, bounds, side="left"
                                 ).astype(jnp.int32)
 
@@ -186,46 +201,36 @@ def _forward(logits: jax.Array,       # (E, NH) post-LeakyReLU/cap; pad=-inf
         num_scalar_prefetch=1,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # logits^T
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # h_src^T
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # receivers
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # drop mask^T
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # packed
         ],
-        out_specs=[
-            pl.BlockSpec((nhf8, nb), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=pl.BlockSpec((nhf8 + nh8, nb), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, nh8, eb), jnp.float32),
-            pltpu.VMEM((2, nhf8, eb), jnp.float32),
-            pltpu.VMEM((2, 8, eb), jnp.int32),
-            pltpu.VMEM((2, nh8, eb), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((2, rows_total, eb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     kernel = functools.partial(_kernel, eb=eb, nb=nb, nh=nh, f=f,
                                nh8=nh8, nhf8=nhf8, eps=eps,
-                               with_dropout=with_dropout)
+                               with_dropout=with_dropout,
+                               normalize=normalize)
     flops_est = 2 * 2 * (e + eb) * nb * (nhf8 + nh8)
-    out_t, denom_t = pl.pallas_call(
+    sds_kw = {"vma": frozenset(vma)} if vma else {}
+    acc_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nhf8, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((nh8, n_pad), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((nhf8 + nh8, n_pad), jnp.float32,
+                                       **sds_kw),
         cost_estimate=pl.CostEstimate(
             flops=flops_est,
-            bytes_accessed=(e + eb) * (nhf8 + 2 * nh8 + 8) * 4
+            bytes_accessed=(e + eb) * rows_total * 4
             + n_pad * (nhf8 + nh8) * 4,
             transcendentals=(e + eb) * nh8),
         interpret=interpret,
-    )(tile_off, logits_p, h_p, recv_p, drop_p)
-    return (out_t.T[:num_nodes, :nh * f],
-            denom_t.T[:num_nodes, :nh])
+    )(tile_off, packed)
+    return (acc_t[:nh * f].T[:num_nodes],
+            acc_t[nhf8:nhf8 + nh].T[:num_nodes])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
@@ -289,6 +294,62 @@ def _fsa_bwd(num_nodes, nh, f, eps, eb, nb, interpret, res, g):
 
 
 fused_segment_attention.defvjp(_fsa_fwd, _fsa_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def fused_segment_attention_partial(logits, h_src, receivers, drop_mask,
+                                    num_nodes: int, nh: int, f: int,
+                                    eb: int = 256, nb: int = 128,
+                                    interpret: bool = False,
+                                    vma: tuple = ()):
+    """UNNORMALISED variant for edge-partitioned execution: returns
+    (num (N, NH*F), denom (N, NH)) where
+        num[n]   = sum_e onehot (drop) ex h,   denom[n] = sum_e onehot ex.
+    Under shard_map each edge shard computes its partials with this op;
+    psum over the edge axis then a plain XLA divide completes the
+    softmax-weighted aggregation for cut neighbourhoods (the distributed
+    analog of models/gat.py edge_axis paths)."""
+    return _forward(logits, h_src, receivers, drop_mask, num_nodes,
+                    nh, f, eps=0.0, eb=eb, nb=nb, interpret=interpret,
+                    normalize=False, vma=vma)
+
+
+def _fsap_fwd(logits, h_src, receivers, drop_mask,
+              num_nodes, nh, f, eb, nb, interpret, vma):
+    num, denom = _forward(logits, h_src, receivers, drop_mask, num_nodes,
+                          nh, f, eps=0.0, eb=eb, nb=nb,
+                          interpret=interpret, normalize=False, vma=vma)
+    return (num, denom), (logits, h_src, receivers, drop_mask)
+
+
+def _fsap_bwd(num_nodes, nh, f, eb, nb, interpret, vma, res, g):
+    """num[n] = sum onehot m ex h;  denom[n] = sum onehot ex:
+        d h_e     = m_e ex_e g_num[r_e]
+        d ex_e    = m_e (h_e . g_num[r_e]) + g_denom[r_e]
+        d logit_e = ex_e * d ex_e
+        d drop_e  = ex_e (h_e . g_num[r_e])
+    """
+    logits, h_src, receivers, drop_mask = res
+    g_num, g_denom = g
+    e = logits.shape[0]
+    gn = g_num.reshape(num_nodes, nh, f)
+    h3 = h_src.reshape(e, nh, f)
+    ex = jnp.exp(logits)
+    m = drop_mask
+
+    gn_e = jnp.take(gn, receivers, axis=0)                  # (E, NH, F)
+    gd_e = jnp.take(g_denom, receivers, axis=0)             # (E, NH)
+    hdotg = jnp.sum(h3 * gn_e, axis=-1)                     # (E, NH)
+
+    coef = ex if m is None else ex * m
+    d_h = (coef[:, :, None] * gn_e).reshape(e, nh * f)
+    d_ex = (hdotg if m is None else hdotg * m) + gd_e
+    d_logits = ex * d_ex
+    d_drop = None if m is None else ex * hdotg
+    return d_logits, d_h, None, d_drop
+
+
+fused_segment_attention_partial.defvjp(_fsap_fwd, _fsap_bwd)
 
 
 def reference_segment_attention(logits, h_src, receivers, drop_mask,

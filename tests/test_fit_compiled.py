@@ -64,3 +64,34 @@ def test_fit_compiled_learns(problem):
     r = tr.fit_compiled(graph, epochs_per_block=20)
     first, last = r.history[0]["train_loss"], r.history[-1]["train_loss"]
     assert last < first
+
+
+def test_fit_scanned_epochs_matches_fit_inductive():
+    """Scanned-epoch inductive fit == per-batch fit (same batches, no
+    shuffle) on losses and best bookkeeping."""
+    rng = np.random.default_rng(4)
+    graphs = []
+    for i in range(6):
+        n = 24
+        senders = np.repeat(np.arange(n), 3)
+        receivers = rng.integers(0, n, n * 3)
+        x = rng.normal(size=(n, 10)).astype(np.float32)
+        y = (rng.random((n, 4)) > 0.5).astype(np.float32)
+        graphs.append(T.canonicalize(x, senders, receivers, y=y,
+                                     node_bucket=32, edge_bucket=128,
+                                     pad_multiple=32))
+    cfg = gat.GATConfig(
+        num_input_node_features=10, num_layers=2,
+        num_heads_per_layer=[2, 1], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[10, 8, 4], num_classes=4,
+        add_skip_connection=[False, False], dropout=0.0)
+    mk = lambda: Trainer(cfg=cfg, task=make_task("PPI"),  # noqa: E731
+                         learning_rate=1e-2, max_epochs=5, seed=9)
+    r_loop = mk().fit(graphs[:4], graphs[4:])
+    r_scan = mk().fit_scanned_epochs(graphs[:4], graphs[4:])
+    assert len(r_loop.history) == len(r_scan.history)
+    for a, b in zip(r_loop.history, r_scan.history):
+        np.testing.assert_allclose(a["val_loss"], b["val_loss"], rtol=1e-4)
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=1e-4)
+    assert r_loop.best_epoch == r_scan.best_epoch

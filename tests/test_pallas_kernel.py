@@ -147,3 +147,74 @@ def test_full_model_backend_parity_and_grads():
                     jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_partial_kernel_matches_full():
+    num_nodes, num_edges, nh, f = 256, 1500, 2, 8
+    logits, h_src, recv = make_edges(num_nodes, num_edges, nh, f, seed=9)
+    num, denom = fsa.fused_segment_attention_partial(
+        logits, h_src, recv, None, num_nodes, nh, f, 256, 128, True)
+    inv = jnp.where(denom > 0, 1.0 / (denom + 1e-8), 0.0)
+    got = (num.reshape(num_nodes, nh, f) * inv[:, :, None]
+           ).reshape(num_nodes, nh * f)
+    want = fsa.fused_segment_attention(logits, h_src, recv, None,
+                                       num_nodes, nh, f, 1e-8, 256, 128,
+                                       True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_partial_kernel_vjp():
+    num_nodes, num_edges, nh, f = 128, 700, 2, 8
+    logits, h_src, recv = make_edges(num_nodes, num_edges, nh, f, seed=10)
+
+    def loss_p(lg, hs):
+        num, denom = fsa.fused_segment_attention_partial(
+            lg, hs, recv, None, num_nodes, nh, f, 256, 128, True)
+        inv = jnp.where(denom > 0, 1.0 / (denom + 1e-8), 0.0)
+        out = (num.reshape(num_nodes, nh, f) * inv[:, :, None])
+        return jnp.sum(jnp.sin(out))
+
+    def loss_r(lg, hs):
+        out = fsa.reference_segment_attention(lg, hs, recv, None,
+                                              num_nodes, nh, f)
+        return jnp.sum(jnp.sin(out.reshape(num_nodes, nh, f)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(logits, h_src)
+    gr = jax.grad(loss_r, argnums=(0, 1))(logits, h_src)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-5)
+
+
+def test_sharded_layer_fused_matches_xla():
+    """shard_map edge-partitioned layer with backend=pallas (partial
+    kernel + psum) == unsharded XLA layer. check_vma=False here because
+    interpret mode inlines the kernel jaxpr, which the varying-axes
+    checker cannot type (compiled TPU tracing disables it internally —
+    see segment_attention._forward docstring); forward-only parity."""
+    from jax.sharding import PartitionSpec as P
+    from gat_pytorch_tpu import parallel
+
+    mesh = parallel.make_mesh(data=2, edge=4)
+    graph = _tiny_graph(seed=21, num_nodes=120)
+    cfg = gat.GATLayerConfig(in_features=12, out_features=8, num_heads=2,
+                             concat=True)
+    params = gat.init_gat_layer(jax.random.key(2), cfg)
+
+    def body(p, x, s, r, em):
+        return gat.gat_layer_apply(p, cfg, x, s, r, em, graph.num_nodes,
+                                   edge_axis="edge", backend="pallas")
+
+    out_sharded = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("edge"),
+                  P("edge"), P("edge")),
+        out_specs=P(), check_vma=False))(
+        params, graph.x, graph.senders, graph.receivers, graph.edge_mask)
+
+    out_ref = gat.gat_layer_apply(params, cfg, graph.x, graph.senders,
+                                  graph.receivers, graph.edge_mask,
+                                  graph.num_nodes, backend="xla")
+    np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
