@@ -15,3 +15,6 @@ from .models.gat import (  # noqa: F401
     GATConfig, GATLayerConfig, init_gat_model, gat_model_apply,
     init_gat_layer, gat_layer_apply, calc_attention_norm,
 )
+from .train.tasks import Task, make_task  # noqa: F401
+from .train.trainer import Trainer, TrainState  # noqa: F401
+from .utils.config import DATA_CONFIG, RunConfig, get_config  # noqa: F401

@@ -43,6 +43,21 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _matmul_dtype():
+    """Kernel contraction input dtype. f32 inputs run the MXU's multi-
+    pass float path; bf16 inputs (accumulation stays f32 via
+    preferred_element_type) double MXU throughput at the cost of
+    rounding h/exp to 8-bit mantissas. Opt in with
+    GAT_TPU_KERNEL_DTYPE=bfloat16 (read once at import)."""
+    import os
+    return (jnp.bfloat16
+            if os.environ.get("GAT_TPU_KERNEL_DTYPE") == "bfloat16"
+            else jnp.float32)
+
+
+MATMUL_DTYPE = None  # resolved lazily on first kernel trace
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -128,9 +143,10 @@ def _kernel(tile_off_ref,          # scalar prefetch: (T+1,) int32
         # ONE fused contraction for numerator AND denominator: the ex
         # rows ride along under the weighted features, so the EB-deep
         # matmul (the kernel's dominant MXU cost) runs once per block
-        combined = jnp.concatenate([weighted_t, ex_t], axis=0)
+        dt = _matmul_dtype()
+        combined = jnp.concatenate([weighted_t, ex_t], axis=0).astype(dt)
         acc_ref[:] += jax.lax.dot_general(
-            combined, onehot_t, (((1,), (1,)), ((), ())),
+            combined, onehot_t.astype(dt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)     # (NHF8+NH8, NB)
         return 0
 
