@@ -54,8 +54,13 @@ def run_case(num_nodes, num_edges, nh, f, backend, grad, iters=10,
                 lg, hs, recv_d, None, num_nodes, nh, f)
         return jnp.sum(out)
 
-    fn = jax.grad(op, argnums=(0, 1)) if grad else op
-    fn = jax.jit(fn)
+    if grad:
+        g = jax.grad(op, argnums=(0, 1))
+        # reduce on device — transferring E-sized gradient arrays through
+        # the tunnelled backend would swamp the timing
+        fn = jax.jit(lambda lg, hs: sum(jnp.sum(x) for x in g(lg, hs)))
+    else:
+        fn = jax.jit(op)
 
     out = fn(logits_d, h_d)
     jax.block_until_ready(out)

@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
-import sys
+
 from typing import List, Optional
 
 import numpy as np

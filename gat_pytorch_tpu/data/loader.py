@@ -10,7 +10,7 @@ step compiles exactly once per dataset.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -19,7 +19,7 @@ from typing import Optional, Sequence
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: F401
+from jax.sharding import Mesh  # noqa: F401  (re-exported)
 
 DATA_AXIS = "data"
 EDGE_AXIS = "edge"

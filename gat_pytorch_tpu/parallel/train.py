@@ -18,8 +18,8 @@ single-device trainer step bit-for-bit in f32.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Tuple
+
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ coefficient (reward for Planetoid :27, penalty for PPI :28-31).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax.numpy as jnp
 

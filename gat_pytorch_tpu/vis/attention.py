@@ -12,7 +12,7 @@ All functions take the (layers, E, NH) attention stack produced by
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from scipy.stats import entropy as _scipy_entropy

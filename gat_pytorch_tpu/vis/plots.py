@@ -12,7 +12,7 @@ Each returns the matplotlib Figure (caller saves/shows); `out` saves a PNG.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
