@@ -30,7 +30,8 @@ import numpy as np
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["x", "senders", "receivers", "edge_mask", "node_mask",
-                      "y", "train_mask", "val_mask", "test_mask", "graph_ids"],
+                      "y", "train_mask", "val_mask", "test_mask", "graph_ids",
+                      "src_order"],
          meta_fields=["num_nodes", "num_edges"])
 @dataclasses.dataclass(frozen=True)
 class Graph:
@@ -46,6 +47,10 @@ class Graph:
     train/val/test_mask: (N_pad,) bool or None (transductive splits;
                 reference: planetoid_gat.py:27,35,50).
     graph_ids:  (N_pad,) int32 component id after batching (0 if unbatched).
+    src_order:  (E_pad,) int32 permutation sorting edges by SENDER, or
+                None. The dst-sorted list drives forward segment ops; this
+                second view makes the backward's gather-transpose a
+                sorted segment reduction too (no unsorted scatter).
     num_nodes / num_edges: static (python int) padded sizes — pytree metadata,
                 part of the jit cache key.
     """
@@ -59,6 +64,7 @@ class Graph:
     val_mask: Optional[jax.Array]
     test_mask: Optional[jax.Array]
     graph_ids: Optional[jax.Array]
+    src_order: Optional[jax.Array]
     num_nodes: int
     num_edges: int
 
@@ -105,7 +111,8 @@ def from_numpy(x: np.ndarray,
                test_mask: Optional[np.ndarray] = None,
                edge_mask: Optional[np.ndarray] = None,
                node_mask: Optional[np.ndarray] = None,
-               graph_ids: Optional[np.ndarray] = None) -> Graph:
+               graph_ids: Optional[np.ndarray] = None,
+               src_order: Optional[np.ndarray] = None) -> Graph:
     """Wrap host arrays (already canonicalised/padded) into a Graph."""
     n, e = int(x.shape[0]), int(senders.shape[0])
     if edge_mask is None:
@@ -124,4 +131,6 @@ def from_numpy(x: np.ndarray,
         val_mask=None if val_mask is None else to(val_mask),
         test_mask=None if test_mask is None else to(test_mask),
         graph_ids=to(graph_ids),
+        src_order=None if src_order is None
+        else to(src_order.astype(np.int32)),
         num_nodes=n, num_edges=e)

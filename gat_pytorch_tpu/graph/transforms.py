@@ -107,6 +107,11 @@ def canonicalize(x: np.ndarray,
     edge_mask = np.arange(e_pad) < e
     node_mask = np.arange(n_pad) < n
 
+    # second edge view sorted by SENDER: the backward's gather-transpose
+    # becomes a sorted segment-sum (src_order stable-sorts padded edges;
+    # padding senders == sink sort last)
+    src_order = np.argsort(senders_p, kind="stable").astype(np.int32)
+
     return from_numpy(
         pad_nodes(np.asarray(x)),
         senders_p, receivers_p,
@@ -117,7 +122,8 @@ def canonicalize(x: np.ndarray,
         edge_mask=edge_mask, node_mask=node_mask,
         graph_ids=pad_nodes(
             np.zeros(n, np.int32) if graph_ids is None
-            else np.asarray(graph_ids, np.int32), fill=-1))
+            else np.asarray(graph_ids, np.int32), fill=-1),
+        src_order=src_order)
 
 
 def csr_offsets(receivers: np.ndarray, num_nodes: int) -> np.ndarray:

@@ -131,9 +131,14 @@ def gat_layer_apply(params: Params,
                     training: bool = False,
                     return_attention: bool = False,
                     edge_axis: Optional[str] = None,
-                    backend: str = "auto"):
+                    backend: str = "auto",
+                    src_order: Optional[jax.Array] = None):
     """One GAT layer forward. Graph must be canonicalised (self-loops added,
     dst-sorted, padded — graph/transforms.canonicalize).
+
+    src_order: optional sender-sorting permutation (Graph.src_order).
+    With the pallas backend it routes the h-gather's transpose through
+    the sorted segment-sum kernel instead of an unsorted XLA scatter.
 
     edge_axis: name of a mesh axis over which the *edge* arrays are sharded
     (shard_map edge partitioning, SURVEY.md §5.7/§5.8). Node arrays are
@@ -216,7 +221,12 @@ def gat_layer_apply(params: Params,
             keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout,
                                         (E, nh))
             drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
-        h_src_flat = seg.gather_rows(h_flat, senders)         # (E, NH*F)
+        if src_order is not None and edge_axis is None:
+            from ..ops.pallas.gather import gather_rows_src_sorted
+            h_src_flat = gather_rows_src_sorted(
+                h_flat, senders, src_order, num_nodes, interpret)
+        else:
+            h_src_flat = seg.gather_rows(h_flat, senders)     # (E, NH*F)
         if edge_axis is None:
             out = fsa.fused_segment_attention(
                 masked_logits, h_src_flat, receivers, drop_mask,
@@ -428,7 +438,8 @@ def gat_model_apply(params: Params,
             graph.senders, graph.receivers, graph.edge_mask, graph.num_nodes,
             rng=rngs[2 * i + 1], training=training,
             return_attention=return_attention, edge_axis=edge_axis,
-            backend=backend)
+            backend=backend,
+            src_order=None if edge_axis is not None else graph.src_order)
         if return_attention:
             x, alpha = out
             attention.append(alpha)

@@ -69,7 +69,8 @@ def _kernel(tile_off_ref,          # scalar prefetch: (T+1,) int32
             #                        [NHF8, NHF8+NH8) denominator
             buf, sems,
             *, eb: int, nb: int, nh: int, f: int, nh8: int, nhf8: int,
-            eps: float, with_dropout: bool, normalize: bool = True):
+            e_real: int, eps: float, with_dropout: bool,
+            normalize: bool = True):
     """The edge data arrives PACKED and TRANSPOSED: one f32 array whose
     lane (minor) axis is the edge axis and whose rows stack
         [0, NHF8)                        gathered source features h
@@ -122,10 +123,16 @@ def _kernel(tile_off_ref,          # scalar prefetch: (T+1,) int32
 
         dma(slot, b).wait()
 
+        start = pl.multiple_of(lo + b * eb, eb)
         block = buf[slot]                                   # (R, EB)
         h_t = block[0:nhf8, :]
         ex_t = jnp.exp(block[nhf8:nhf8 + nh8, :])           # (NH8, EB)
-        recv_row = block[block.shape[0] - 8:block.shape[0] - 7, :]
+        # columns past the real edge count are zero-filled pad (exp(0)=1):
+        # mask them here so the pack needs no special fill values
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
+        ex_t = jnp.where(col < e_real, ex_t, 0.0)
+        recv_at = nhf8 + nh8 + (nh8 if with_dropout else 0)
+        recv_row = block[recv_at:recv_at + 1, :]
         # one-hot^T of receiver vs this tile's node range; edges whose
         # receiver is outside the tile (block overrun) vanish here
         rows = (i * nb
@@ -187,24 +194,24 @@ def _forward(logits: jax.Array,       # (E, NH) post-LeakyReLU/cap; pad=-inf
     rows_total = nhf8 + nh8 + (nh8 if with_dropout else 0) + 8
 
     # pack everything edge-major into ONE f32 array (single DMA per edge
-    # block — see _kernel docstring); pad the edge axis by EB so the last
-    # block's overrun read stays in-bounds
-    def pad_rows(a_t, rows, fill):
-        return jnp.pad(a_t, ((0, rows - a_t.shape[0]), (0, 0)),
-                       constant_values=fill)
+    # block — see _kernel docstring). Data movement is minimised: one
+    # concatenate of the transposed sections + ONE zero pad for row/
+    # overrun alignment (per-part pads and fill values would each
+    # materialise a full pass — docs/PERF.md probes). Zero fills are safe
+    # because the kernel masks columns >= e_real itself and phantom head
+    # rows are zeroed by the expander.
+    def align8(a_t):
+        r8 = _round_up(a_t.shape[0], 8)
+        if r8 == a_t.shape[0]:
+            return a_t
+        return jnp.pad(a_t, ((0, r8 - a_t.shape[0]), (0, 0)))
 
-    parts = [pad_rows(h_src.T, nhf8, 0.0),
-             pad_rows(logits.T, nh8, NEG_INF)]
+    parts = [align8(h_src.T), align8(logits.T)]
     if with_dropout:
-        parts.append(pad_rows(drop_mask.T, nh8, 0.0))
-    parts.append(pad_rows(receivers.astype(jnp.float32)[None, :], 8,
-                          num_nodes))
-    packed = jnp.concatenate(parts, axis=0)                  # (R, E)
-    packed = jnp.pad(packed, ((0, 0), (0, eb)))              # edge overrun
-    # overrun edges: zero rows everywhere, INCLUDING logits -> exp(0)=1,
-    # but their receiver row is 0.0 == node 0 only in tile 0... make them
-    # inert by forcing the overrun receivers out of range instead
-    packed = packed.at[rows_total - 8, e:].set(jnp.float32(n_pad))
+        parts.append(align8(drop_mask.T))
+    parts.append(receivers.astype(jnp.float32)[None, :])
+    packed = jnp.concatenate(parts, axis=0)
+    packed = jnp.pad(packed, ((0, rows_total - packed.shape[0]), (0, eb)))
 
     # per-tile contiguous edge ranges (receivers ascending)
     bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
@@ -228,7 +235,7 @@ def _forward(logits: jax.Array,       # (E, NH) post-LeakyReLU/cap; pad=-inf
     )
 
     kernel = functools.partial(_kernel, eb=eb, nb=nb, nh=nh, f=f,
-                               nh8=nh8, nhf8=nhf8, eps=eps,
+                               nh8=nh8, nhf8=nhf8, e_real=e, eps=eps,
                                with_dropout=with_dropout,
                                normalize=normalize)
     flops_est = 2 * 2 * (e + eb) * nb * (nhf8 + nh8)

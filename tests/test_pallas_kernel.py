@@ -218,3 +218,43 @@ def test_sharded_layer_fused_matches_xla():
                                   graph.num_nodes, backend="xla")
     np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("num_segments,e,d", [
+    (128, 700, 16), (384, 3000, 7), (256, 50, 64),
+])
+def test_segment_sum_pallas_matches_xla(num_segments, e, d):
+    from gat_pytorch_tpu.ops.pallas.segment_sum import segment_sum_pallas
+    rng = np.random.default_rng(0)
+    ids = np.sort(rng.integers(0, num_segments, e)).astype(np.int32)
+    vals = rng.normal(size=(e, d)).astype(np.float32)
+    got = segment_sum_pallas(jnp.asarray(vals), jnp.asarray(ids),
+                             num_segments, interpret=True)
+    want = jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(ids),
+                               num_segments=num_segments,
+                               indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gather_src_sorted_vjp_matches_take():
+    from gat_pytorch_tpu.ops.pallas.gather import gather_rows_src_sorted
+    rng = np.random.default_rng(0)
+    n, e, d = 200, 900, 16
+    table = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    order = jnp.asarray(np.argsort(np.asarray(idx), kind="stable")
+                        .astype(np.int32))
+
+    def loss_a(t):
+        return jnp.sum(jnp.sin(
+            gather_rows_src_sorted(t, idx, order, n, True)))
+
+    def loss_b(t):
+        return jnp.sum(jnp.sin(jnp.take(t, idx, axis=0)))
+
+    va, ga = jax.value_and_grad(loss_a)(table)
+    vb, gb = jax.value_and_grad(loss_b)(table)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-5, atol=1e-5)
