@@ -150,8 +150,24 @@ def gat_layer_apply(params: Params,
     nh, f = cfg.num_heads, cfg.out_features
     E = senders.shape[0]
 
-    # (1) feature transform on MXU — reference models/gat_layer.py:64-65
-    h_flat = jnp.dot(x, params["W"], preferred_element_type=jnp.float32)
+    # (1) feature transform on MXU — reference models/gat_layer.py:64-65.
+    # Under edge sharding the GEMM FLOPs are split across the axis (each
+    # shard transforms a node-range slice; one tiled all_gather rebuilds
+    # the replicated h) — otherwise every shard would redundantly compute
+    # the full product. all_gather's transpose (psum_scatter) gives the
+    # correct sharded gradient automatically under check_vma.
+    if edge_axis is not None and num_nodes % jax.lax.axis_size(
+            edge_axis) == 0:
+        k = jax.lax.axis_size(edge_axis)
+        rows = num_nodes // k
+        x_local = jax.lax.dynamic_slice_in_dim(
+            x, jax.lax.axis_index(edge_axis) * rows, rows, 0)
+        h_local = jnp.dot(x_local, params["W"],
+                          preferred_element_type=jnp.float32)
+        h_flat = jax.lax.all_gather(h_local, edge_axis, axis=0, tiled=True)
+    else:
+        h_flat = jnp.dot(x, params["W"],
+                         preferred_element_type=jnp.float32)
     h = h_flat.reshape(num_nodes, nh, f)
 
     # (2) edge logits (SDDMM) — reference :70-92, decomposed to node scores

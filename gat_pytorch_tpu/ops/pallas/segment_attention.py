@@ -289,8 +289,7 @@ def _fsa_bwd(num_nodes, nh, f, eps, eb, nb, interpret, res, g):
     """
     logits, h_src, receivers, drop_mask, denom, out = res
     e = logits.shape[0]
-    g = g.reshape(num_nodes, nh, f)
-    out3 = out.reshape(num_nodes, nh, f)
+    g = g.reshape(num_nodes, nh * f)
     h3 = h_src.reshape(e, nh, f)
     # empty segments carry no gradient; avoid 0 * inf = NaN when eps = 0
     big_d = jnp.where(denom > 0.0, denom + eps, 1.0)        # (N, NH)
@@ -298,21 +297,30 @@ def _fsa_bwd(num_nodes, nh, f, eps, eb, nb, interpret, res, g):
     ex = jnp.exp(logits)                                    # (E, NH)
     m = drop_mask if drop_mask is not None else None
 
-    g_e = jnp.take(g, receivers, axis=0)                    # (E, NH, F)
-    inv_d_e = 1.0 / jnp.take(big_d, receivers, axis=0)      # (E, NH)
+    # node-side terms first, then ONE packed gather: three separate
+    # E-sized takes cost ~3x the whole forward in XLA (docs/PERF.md)
+    inv_d = 1.0 / big_d                                     # (N, NH)
+    d_denom = -jnp.sum(out.reshape(num_nodes, nh, f)
+                       * g.reshape(num_nodes, nh, f), axis=-1) / big_d
+    node_pack = jnp.concatenate([g, inv_d, d_denom], axis=1)
+    edge_pack = jnp.take(node_pack, receivers, axis=0)      # (E, nhf+2nh)
+    nhf = nh * f
+    g_e = edge_pack[:, :nhf].reshape(e, nh, f)              # (E, NH, F)
+    inv_d_e = edge_pack[:, nhf:nhf + nh]                    # (E, NH)
+    d_denom_e = edge_pack[:, nhf + nh:]                     # (E, NH)
 
     coef = ex * inv_d_e if m is None else ex * m * inv_d_e
     d_h = (coef[:, :, None] * g_e).reshape(e, nh * f)
 
-    d_ex_num = jnp.sum(h3 * g_e, axis=-1) * inv_d_e         # (E, NH)
+    hdotg = jnp.sum(h3 * g_e, axis=-1)                      # (E, NH)
+    d_ex_num = hdotg * inv_d_e
     if m is not None:
         d_ex_num = d_ex_num * m
-    d_denom = -jnp.sum(out3 * g, axis=-1) / big_d           # (N, NH)
-    d_logits = ex * (d_ex_num + jnp.take(d_denom, receivers, axis=0))
+    d_logits = ex * (d_ex_num + d_denom_e)
 
     d_drop = None
     if m is not None:
-        d_drop = jnp.sum(h3 * g_e, axis=-1) * ex * inv_d_e
+        d_drop = hdotg * ex * inv_d_e
     return d_logits, d_h, None, d_drop
 
 
@@ -355,13 +363,16 @@ def _fsap_bwd(num_nodes, nh, f, eb, nb, interpret, vma, res, g):
     logits, h_src, receivers, drop_mask = res
     g_num, g_denom = g
     e = logits.shape[0]
-    gn = g_num.reshape(num_nodes, nh, f)
     h3 = h_src.reshape(e, nh, f)
     ex = jnp.exp(logits)
     m = drop_mask
 
-    gn_e = jnp.take(gn, receivers, axis=0)                  # (E, NH, F)
-    gd_e = jnp.take(g_denom, receivers, axis=0)             # (E, NH)
+    nhf = nh * f
+    node_pack = jnp.concatenate(
+        [g_num.reshape(num_nodes, nhf), g_denom], axis=1)
+    edge_pack = jnp.take(node_pack, receivers, axis=0)      # (E, nhf+nh)
+    gn_e = edge_pack[:, :nhf].reshape(e, nh, f)             # (E, NH, F)
+    gd_e = edge_pack[:, nhf:]                               # (E, NH)
     hdotg = jnp.sum(h3 * gn_e, axis=-1)                     # (E, NH)
 
     coef = ex if m is None else ex * m
