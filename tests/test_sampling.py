@@ -74,3 +74,35 @@ def test_training_on_sampled_batches_learns():
     res = tr.fit(batcher.epoch(0), val, reshuffle=batcher.epoch)
     losses = [h["train_loss"] for h in res.history]
     assert losses[-1] < losses[0]
+
+
+def test_prefetch_iterator_delivers_all_batches():
+    from gat_pytorch_tpu.data.prefetch import PrefetchIterator
+    from gat_pytorch_tpu.data import sampling as S2
+    x, s, r, y = random_graph(seed=8)
+    b = S2.NeighborSampledBatcher(x, s, r, y, np.arange(64), batch_size=16,
+                                  fanouts=(4,), seed=0)
+    direct = b.epoch(0)
+    b2 = S2.NeighborSampledBatcher(x, s, r, y, np.arange(64), batch_size=16,
+                                   fanouts=(4,), seed=0)
+    fetched = list(PrefetchIterator(b2.epoch(0), depth=2))
+    assert len(fetched) == len(direct)
+    for a, c in zip(fetched, direct):
+        np.testing.assert_array_equal(np.asarray(a.senders),
+                                      np.asarray(c.senders))
+
+
+def test_prefetch_iterator_propagates_errors():
+    from gat_pytorch_tpu.data.prefetch import PrefetchIterator
+    import pytest as _pytest
+
+    def bad():
+        yield from []
+        raise RuntimeError("boom")
+
+    def gen():
+        raise RuntimeError("boom")
+        yield  # pragma: no cover
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(PrefetchIterator(gen(), depth=1))
