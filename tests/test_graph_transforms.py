@@ -104,3 +104,39 @@ def test_sample_neighbors():
     # degree <= k: take all edges, deterministically
     src, dst = core.sample_neighbors(offs, s, np.array([0]), k=32, seed=1)
     np.testing.assert_array_equal(np.sort(src), s)
+
+
+def test_canonicalize_zero_edge_graph():
+    """A graph with no edges still trains (self-loops only)."""
+    import jax
+    from gat_pytorch_tpu.models import gat as G
+
+    x = np.random.default_rng(0).normal(size=(10, 6)).astype(np.float32)
+    g = T.canonicalize(x, np.zeros(0, np.int64), np.zeros(0, np.int64))
+    g.validate()
+    assert int(np.asarray(g.edge_mask).sum()) == 10  # self-loops
+    cfg = G.GATLayerConfig(in_features=6, out_features=4, num_heads=2,
+                           concat=True)
+    params = G.init_gat_layer(jax.random.key(0), cfg)
+    out = G.gat_layer_apply(params, cfg, g.x, g.senders, g.receivers,
+                            g.edge_mask, g.num_nodes)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_canonicalize_single_node():
+    g = T.canonicalize(np.ones((1, 3), np.float32),
+                       np.zeros(0, np.int64), np.zeros(0, np.int64))
+    g.validate()
+    assert int(np.asarray(g.node_mask).sum()) == 1
+
+
+def test_src_order_sorts_senders():
+    rng = np.random.default_rng(1)
+    s = rng.integers(0, 50, 200)
+    r = rng.integers(0, 50, 200)
+    x = rng.normal(size=(50, 4)).astype(np.float32)
+    g = T.canonicalize(x, s, r)
+    send = np.asarray(g.senders)
+    order = np.asarray(g.src_order)
+    assert (np.diff(send[order]) >= 0).all()
+    assert sorted(order.tolist()) == list(range(g.num_edges))
