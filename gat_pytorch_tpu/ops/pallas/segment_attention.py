@@ -176,7 +176,8 @@ def _forward(logits: jax.Array,       # (E, NH) post-LeakyReLU/cap; pad=-inf
              num_nodes: int, nh: int, f: int,
              *, eps: float, eb: int, nb: int, interpret: bool,
              normalize: bool = True,
-             vma: tuple = ()):
+             vma: tuple = (),
+             return_packed: bool = False):
     """vma: mesh axis names this call varies over — required by
     shard_map's varying-axes checker when the kernel runs per edge shard
     (jax.ShapeDtypeStruct(vma=...) on the pallas_call outputs). The
@@ -252,8 +253,9 @@ def _forward(logits: jax.Array,       # (E, NH) post-LeakyReLU/cap; pad=-inf
             transcendentals=(e + eb) * nh8),
         interpret=interpret,
     )(tile_off, packed)
-    return (acc_t[:nh * f].T[:num_nodes],
-            acc_t[nhf8:nhf8 + nh].T[:num_nodes])
+    out = (acc_t[:nh * f].T[:num_nodes],
+           acc_t[nhf8:nhf8 + nh].T[:num_nodes])
+    return out + (packed,) if return_packed else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
@@ -272,14 +274,46 @@ def fused_segment_attention(logits, h_src, receivers, drop_mask,
     return out
 
 
+def _use_fused_bwd() -> bool:
+    """Fused Pallas backward (segment_attention_bwd) unless disabled.
+    GAT_TPU_FUSED_BWD=0 falls back to the XLA quotient-rule VJP."""
+    import os
+    return os.environ.get("GAT_TPU_FUSED_BWD", "1") != "0"
+
+
 def _fsa_fwd(logits, h_src, receivers, drop_mask,
              num_nodes, nh, f, eps, eb, nb, interpret):
+    if _use_fused_bwd():
+        out, denom, packed = _forward(
+            logits, h_src, receivers, drop_mask, num_nodes, nh, f,
+            eps=eps, eb=eb, nb=nb, interpret=interpret, return_packed=True)
+        return out, (packed, receivers, denom, out,
+                     drop_mask is not None)
     out, denom = _forward(logits, h_src, receivers, drop_mask, num_nodes,
                           nh, f, eps=eps, eb=eb, nb=nb, interpret=interpret)
     return out, (logits, h_src, receivers, drop_mask, denom, out)
 
 
 def _fsa_bwd(num_nodes, nh, f, eps, eb, nb, interpret, res, g):
+    if _use_fused_bwd():
+        from .segment_attention_bwd import backward_packed
+        packed, receivers, denom, out, with_dropout = res
+        e = receivers.shape[0]
+        nh8 = _round_up(nh, 8)
+        nhf8 = _round_up(nh * f, 8)
+        d_packed = backward_packed(
+            packed, receivers, g, out, denom, num_nodes, nh, f,
+            eps=eps, eb=eb, nb=nb, with_dropout=with_dropout,
+            interpret=interpret)
+        d_h = d_packed[:nh * f, :e].T
+        d_logits = d_packed[nhf8:nhf8 + nh, :e].T
+        d_drop = (d_packed[nhf8 + nh8:nhf8 + nh8 + nh, :e].T
+                  if with_dropout else None)
+        return d_logits, d_h, None, d_drop
+    return _fsa_bwd_xla(num_nodes, nh, f, eps, res, g)
+
+
+def _fsa_bwd_xla(num_nodes, nh, f, eps, res, g):
     """Quotient rule on saved denominators (exact, plain XLA):
         out[n] = num[n] / D[n],  D[n] = denom[n] + eps
         d h_e    = m_e ex_e / D[r_e] * g[r_e]            (per head)

@@ -1,0 +1,227 @@
+"""Fused backward kernel for the segment-attention op.
+
+Computes the per-edge gradients of
+    out[n] = sum_e onehot(recv_e=n) (m_e) ex_e h_e / (denom[n] + eps)
+in one pass over the SAME packed edge array the forward built
+(h | logits | drop | recv, edge-major lanes — segment_attention._forward),
+with the node-side payload (g, 1/D, d_denom) broadcast node->edge by the
+one-hot matmul (the transpose of the forward's reduction):
+
+    per tile:  P = [g | 1/D | d_denom]           (K, NB) node payload
+    per block: payload_e = P @ onehot             (K, EB) MXU broadcast
+               elementwise quotient-rule terms -> d_h, d_logits, d_drop
+               accumulate-write the d block to HBM
+
+Output blocks are written manually because a tile's edge range is not
+block-aligned: each tile's FIRST (aligned-down) block may also hold the
+previous tile's edges, so the first block of every tile does a read-add-
+write against a zero-initialised, input-aliased output buffer. The TPU
+grid is sequential on a core, so the read of tile i+1 always observes
+tile i's completed write.
+
+This replaces the XLA quotient-rule VJP (one packed E-gather + ~5
+elementwise passes) whose data movement cost ~6x the forward kernel
+(docs/PERF.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .segment_attention import _round_up
+
+
+def _kernel(tile_off_ref,
+            packed_hbm,     # (R, E+EB) forward's packed edge array
+            zeros_hbm,      # (KO, E+EB) zero-init, aliased to output
+            g_t, out_t, denom_t,   # node-side BlockSpec inputs (·, NB)
+            dout_hbm,       # output, aliased with zeros_hbm
+            buf, dbuf, rbuf, sems, wsems, rsem,
+            *, eb: int, nb: int, nh: int, f: int, nh8: int, nhf8: int,
+            ko: int, e_real: int, eps: float, with_dropout: bool,
+            normalize: bool):
+    i = pl.program_id(0)
+    lo = (tile_off_ref[i] // eb) * eb
+    hi = tile_off_ref[i + 1]
+    nblocks = pl.cdiv(hi - lo, eb)
+
+    exp_rows = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 0)
+    exp_cols = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 1)
+    expander = ((exp_cols // f == exp_rows)
+                & (exp_rows < nh) & (exp_cols < nh * f)).astype(jnp.float32)
+
+    # ---- node payload for this tile --------------------------------------
+    # (only the normalised op is fused; the partial/sharded variant keeps
+    # its XLA VJP)
+    del normalize
+    d = denom_t[:]                                          # (NH8, NB)
+    inv_d = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
+    outg_h = jax.lax.dot_general(
+        expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # (NH8, NB)
+    d_den = -outg_h * inv_d
+
+    def dma_in(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(packed_hbm.at[:, pl.ds(start, eb)],
+                                     buf.at[slot], sems.at[slot])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def body(b, _):
+        slot = b % 2
+        wslot = b % 2
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_in((b + 1) % 2, b + 1).start()
+
+        dma_in(slot, b).wait()
+        start = pl.multiple_of(lo + b * eb, eb)
+
+        block = buf[slot]                                   # (R, EB)
+        h_t = block[0:nhf8, :]
+        logits = block[nhf8:nhf8 + nh8, :]
+        ex_t = jnp.exp(logits)                              # (NH8, EB)
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
+        ex_t = jnp.where(col < e_real, ex_t, 0.0)
+        recv_at = nhf8 + nh8 + (nh8 if with_dropout else 0)
+        recv_row = block[recv_at:recv_at + 1, :]
+        rows = (i * nb
+                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                ).astype(jnp.float32)
+        onehot_t = (recv_row == rows).astype(jnp.float32)   # (NB, EB)
+
+        # node -> edge broadcast of [g | 1/D | d_denom]
+        payload = jnp.concatenate([g_t[:], inv_d, d_den], axis=0)
+        payload_e = jax.lax.dot_general(
+            payload, onehot_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (K, EB)
+        g_e = payload_e[0:nhf8, :]
+        invd_e = payload_e[nhf8:nhf8 + nh8, :]
+        dden_e = payload_e[nhf8 + nh8:nhf8 + 2 * nh8, :]
+
+        m = block[nhf8 + nh8:nhf8 + 2 * nh8, :] if with_dropout else None
+
+        coef = ex_t * invd_e if m is None else ex_t * m * invd_e
+        coef_wide = jax.lax.dot_general(
+            expander, coef, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHF8, EB)
+        d_h = coef_wide * g_e
+
+        hdotg = jax.lax.dot_general(
+            expander, h_t * g_e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NH8, EB)
+        d_ex = hdotg * invd_e
+        if m is not None:
+            d_ex = d_ex * m
+        d_logits = ex_t * (d_ex + dden_e)
+
+        parts = [d_h, d_logits]
+        if with_dropout:
+            parts.append(hdotg * ex_t * invd_e)
+        dblk = jnp.concatenate(parts, axis=0)               # (K', EB)
+        dblk = jnp.pad(dblk, ((0, ko - dblk.shape[0]), (0, 0)))
+
+        # first (aligned-down) block may contain the previous tile's
+        # edges: accumulate against what is already there (branching on
+        # the block index keeps stale read-buffer bits out of the sum)
+        @pl.when(b == 0)
+        def _():
+            rd = pltpu.make_async_copy(dout_hbm.at[:, pl.ds(start, eb)],
+                                       rbuf, rsem)
+            rd.start()
+            rd.wait()
+            dbuf[wslot] = dblk + rbuf[:]
+
+        @pl.when(b > 0)
+        def _():
+            dbuf[wslot] = dblk
+
+        wr = pltpu.make_async_copy(dbuf.at[wslot],
+                                   dout_hbm.at[:, pl.ds(start, eb)],
+                                   wsems.at[wslot])
+        wr.start()
+        wr.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, body, 0)
+
+
+def backward_packed(packed: jax.Array,        # (R, E+EB) from forward
+                    receivers: jax.Array,     # (E,) int32 dst-sorted
+                    g: jax.Array,             # (N, NH*F) upstream cotangent
+                    out: jax.Array,           # (N, NH*F) forward output
+                    denom: jax.Array,         # (N, NH) forward denominators
+                    num_nodes: int, nh: int, f: int,
+                    *, eps: float, eb: int, nb: int,
+                    with_dropout: bool, interpret: bool):
+    """Returns d_packed (KO, E+EB): rows [d_h (NHF8) | d_logits (NH8)
+    (| d_drop NH8)] edge-major; slice+transpose at the caller."""
+    e = receivers.shape[0]
+    t = pl.cdiv(num_nodes, nb)
+    n_pad = t * nb
+    nh8 = _round_up(nh, 8)
+    nhf8 = _round_up(nh * f, 8)
+    ko = nhf8 + nh8 + (nh8 if with_dropout else 0)
+    r = packed.shape[0]
+
+    def node_t(a, rows):
+        a_t = a.T
+        return jnp.pad(a_t, ((0, rows - a_t.shape[0]),
+                             (0, n_pad - a_t.shape[1])))
+
+    g_t = node_t(g, nhf8)
+    out_t = node_t(out, nhf8)
+    denom_t = node_t(denom, nh8)
+
+    bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
+    tile_off = jnp.searchsorted(receivers, bounds, side="left"
+                                ).astype(jnp.int32)
+    zeros = jnp.zeros((ko, packed.shape[1]), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # packed
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # zeros
+            pl.BlockSpec((nhf8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # g_t
+            pl.BlockSpec((nhf8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # out_t
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # denom_t
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, r, eb), jnp.float32),     # packed blocks
+            pltpu.VMEM((2, ko, eb), jnp.float32),    # outgoing d blocks
+            pltpu.VMEM((ko, eb), jnp.float32),       # read-back buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8, ko=ko,
+        e_real=e, eps=eps, with_dropout=with_dropout, normalize=True)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ko, packed.shape[1]), jnp.float32),
+        input_output_aliases={2: 0},   # zeros -> output (after prefetch)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * (e + eb) * nb * (nhf8 + nh8),
+            bytes_accessed=(e + eb) * (r + 2 * ko) * 4
+            + n_pad * (2 * nhf8 + nh8) * 4,
+            transcendentals=(e + eb) * nh8),
+        interpret=interpret,
+    )(tile_off, packed, zeros, g_t, out_t, denom_t)

@@ -258,3 +258,22 @@ def test_gather_src_sorted_vjp_matches_take():
     np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_xla_bwd_fallback_matches_fused(monkeypatch):
+    num_nodes, num_edges, nh, f = 256, 1200, 2, 8
+    logits, h_src, recv = make_edges(num_nodes, num_edges, nh, f, seed=12)
+
+    def loss(lg, hs):
+        out = fsa.fused_segment_attention(lg, hs, recv, None,
+                                          num_nodes, nh, f, 1e-8, 256, 128,
+                                          True)
+        return jnp.sum(out ** 2)
+
+    g_fused = jax.grad(loss, argnums=(0, 1))(logits, h_src)
+    monkeypatch.setenv("GAT_TPU_FUSED_BWD", "0")
+    jax.clear_caches()
+    g_xla = jax.grad(loss, argnums=(0, 1))(logits, h_src)
+    for a, b in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
