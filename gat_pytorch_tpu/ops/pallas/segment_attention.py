@@ -381,6 +381,12 @@ def fused_segment_attention_partial(logits, h_src, receivers, drop_mask,
 
 def _fsap_fwd(logits, h_src, receivers, drop_mask,
               num_nodes, nh, f, eb, nb, interpret, vma):
+    if _use_fused_bwd():
+        num, denom, packed = _forward(
+            logits, h_src, receivers, drop_mask, num_nodes, nh, f,
+            eps=0.0, eb=eb, nb=nb, interpret=interpret, normalize=False,
+            vma=vma, return_packed=True)
+        return (num, denom), (packed, receivers, drop_mask is not None)
     num, denom = _forward(logits, h_src, receivers, drop_mask, num_nodes,
                           nh, f, eps=0.0, eb=eb, nb=nb,
                           interpret=interpret, normalize=False, vma=vma)
@@ -388,6 +394,26 @@ def _fsap_fwd(logits, h_src, receivers, drop_mask,
 
 
 def _fsap_bwd(num_nodes, nh, f, eb, nb, interpret, vma, res, g):
+    if _use_fused_bwd():
+        from .segment_attention_bwd import backward_packed
+        packed, receivers, with_dropout = res
+        g_num, g_denom = g
+        e = receivers.shape[0]
+        nh8 = _round_up(nh, 8)
+        nhf8 = _round_up(nh * f, 8)
+        d_packed = backward_packed(
+            packed, receivers, g_num, g_num, g_denom, num_nodes, nh, f,
+            eps=0.0, eb=eb, nb=nb, with_dropout=with_dropout,
+            interpret=interpret, normalize=False)
+        d_h = d_packed[:nh * f, :e].T
+        d_logits = d_packed[nhf8:nhf8 + nh, :e].T
+        d_drop = (d_packed[nhf8 + nh8:nhf8 + nh8 + nh, :e].T
+                  if with_dropout else None)
+        return d_logits, d_h, None, d_drop
+    return _fsap_bwd_xla(num_nodes, nh, f, res, g)
+
+
+def _fsap_bwd_xla(num_nodes, nh, f, res, g):
     """num[n] = sum onehot m ex h;  denom[n] = sum onehot ex:
         d h_e     = m_e ex_e g_num[r_e]
         d ex_e    = m_e (h_e . g_num[r_e]) + g_denom[r_e]

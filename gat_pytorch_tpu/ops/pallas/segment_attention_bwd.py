@@ -56,15 +56,19 @@ def _kernel(tile_off_ref,
                 & (exp_rows < nh) & (exp_cols < nh * f)).astype(jnp.float32)
 
     # ---- node payload for this tile --------------------------------------
-    # (only the normalised op is fused; the partial/sharded variant keeps
-    # its XLA VJP)
-    del normalize
+    # normalised op:   inv_d = 1/(denom+eps),  d_den = -(out.g)_h * inv_d
+    # partial op:      inv_d = 1,              d_den = g_denom
+    #                  (denom_t carries g_denom; out_t is unused)
     d = denom_t[:]                                          # (NH8, NB)
-    inv_d = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
-    outg_h = jax.lax.dot_general(
-        expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # (NH8, NB)
-    d_den = -outg_h * inv_d
+    if normalize:
+        inv_d = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
+        outg_h = jax.lax.dot_general(
+            expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NH8, NB)
+        d_den = -outg_h * inv_d
+    else:
+        inv_d = jnp.ones_like(d)
+        d_den = d
 
     def dma_in(slot, b):
         start = pl.multiple_of(lo + b * eb, eb)
@@ -162,9 +166,13 @@ def backward_packed(packed: jax.Array,        # (R, E+EB) from forward
                     denom: jax.Array,         # (N, NH) forward denominators
                     num_nodes: int, nh: int, f: int,
                     *, eps: float, eb: int, nb: int,
-                    with_dropout: bool, interpret: bool):
+                    with_dropout: bool, interpret: bool,
+                    normalize: bool = True):
     """Returns d_packed (KO, E+EB): rows [d_h (NHF8) | d_logits (NH8)
-    (| d_drop NH8)] edge-major; slice+transpose at the caller."""
+    (| d_drop NH8)] edge-major; slice+transpose at the caller.
+
+    normalize=False computes the partial/unnormalised op's VJP: pass the
+    cotangents as g := g_num and denom := g_denom (out is ignored)."""
     e = receivers.shape[0]
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
@@ -212,7 +220,7 @@ def backward_packed(packed: jax.Array,        # (R, E+EB) from forward
     )
     kernel = functools.partial(
         _kernel, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8, ko=ko,
-        e_real=e, eps=eps, with_dropout=with_dropout, normalize=True)
+        e_real=e, eps=eps, with_dropout=with_dropout, normalize=normalize)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
