@@ -184,3 +184,39 @@ def test_multihost_pod_mesh_single_process():
     mesh = multihost.pod_mesh(edge_per_host=4)
     assert mesh.shape["data"] == 2 and mesh.shape["edge"] == 4
     multihost.initialize()  # no-op single process
+
+
+def test_sharded_gemm_fallback_non_divisible_axis():
+    """edge-axis size 3 does not divide N_pad=32 -> replicated-GEMM
+    fallback branch; results must still match unsharded."""
+    from jax.sharding import PartitionSpec as P
+    mesh6 = parallel.make_mesh(data=2, edge=3,
+                               devices=jax.devices()[:6])
+    cfg = tiny_cfg()
+    # edge bucket divisible by 3 (edges CAN shard), node count not
+    rng = np.random.default_rng(11)
+    graphs = []
+    for i in range(2):
+        n = 24
+        senders = np.repeat(np.arange(n), 3)
+        receivers = rng.integers(0, n, n * 3)
+        x = rng.normal(size=(n, 12)).astype(np.float32)
+        y = (rng.random((n, 4)) > 0.5).astype(np.float32)
+        graphs.append(T.canonicalize(x, senders, receivers, y=y,
+                                     node_bucket=32, edge_bucket=192,
+                                     pad_multiple=32))
+    batch = parallel.stack_graphs(graphs)
+    params = gat.init_gat_model(jax.random.key(4), cfg)
+    task = make_task("PPI")
+    sharded = parallel.make_sharded_eval_step(cfg, task, mesh6, "val")
+    got = sharded(params, parallel.put_batch(batch, mesh6))
+
+    def per_graph(g):
+        logits = gat.gat_model_apply(params, cfg, g, training=False)
+        return task.metrics(logits, g, "val")
+
+    want = jax.tree_util.tree_map(lambda v: jnp.mean(v),
+                                  jax.vmap(per_graph)(batch))
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-5, atol=1e-6)
