@@ -44,11 +44,13 @@ def run_case(num_nodes, num_edges, nh, f, backend, grad, iters=10,
     h_d = jax.device_put(jnp.asarray(h_src))
     recv_d = jax.device_put(jnp.asarray(recv))
 
+    from gat_pytorch_tpu.utils.platform import is_tpu_backend
+
     def op(lg, hs):
         if backend == "pallas":
             out = fsa.fused_segment_attention(
                 lg, hs, recv_d, None, num_nodes, nh, f, 1e-8, eb, nb,
-                jax.default_backend() not in ("tpu", "axon"))
+                not is_tpu_backend())
         else:
             out = fsa.reference_segment_attention(
                 lg, hs, recv_d, None, num_nodes, nh, f)

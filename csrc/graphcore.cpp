@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstring>
 #include <random>
+#include <unordered_set>
 #include <vector>
 
 extern "C" {
@@ -92,15 +93,19 @@ void gc_block_diagonal(const int64_t* senders, const int64_t* receivers,
   }
 }
 
-// Uniform neighbour sampling: for each seed node, sample up to k in-edges
-// (with replacement if degree > 0 and degree < k sampling is without
-// replacement — we take all). Operates on the CSR (offsets, senders) view.
+// Uniform neighbour sampling WITHOUT replacement: for each seed node,
+// sample exactly min(k, degree) distinct in-edge slots, each k-subset
+// equally likely (Floyd's algorithm, O(k) per node). Distinctness
+// matters downstream: GAT attention is degree-sensitive, so duplicate
+// sampled edges would bias the segment softmax (data/sampling.py
+// docstring contract). Operates on the CSR (offsets, senders) view.
 // out_src/out_dst have capacity num_seeds*k; returns number written.
 int64_t gc_sample_neighbors(const int64_t* offsets, const int64_t* senders,
                             const int64_t* seeds, int64_t num_seeds,
                             int64_t k, uint64_t seed,
                             int64_t* out_src, int64_t* out_dst) {
   std::mt19937_64 rng(seed);
+  std::unordered_set<int64_t> picked;
   int64_t w = 0;
   for (int64_t s = 0; s < num_seeds; ++s) {
     const int64_t v = seeds[s];
@@ -114,9 +119,15 @@ int64_t gc_sample_neighbors(const int64_t* offsets, const int64_t* senders,
         ++w;
       }
     } else {
-      std::uniform_int_distribution<int64_t> dist(0, deg - 1);
-      for (int64_t i = 0; i < k; ++i) {
-        out_src[w] = senders[lo + dist(rng)];
+      // Floyd: for j in [deg-k, deg): draw t ~ U[0, j]; add t unless
+      // already picked, else add j. Yields a uniform k-subset of [0,deg).
+      picked.clear();
+      for (int64_t j = deg - k; j < deg; ++j) {
+        std::uniform_int_distribution<int64_t> dist(0, j);
+        const int64_t t = dist(rng);
+        const int64_t slot = picked.insert(t).second ? t : j;
+        if (slot != t) picked.insert(slot);
+        out_src[w] = senders[lo + slot];
         out_dst[w] = v;
         ++w;
       }

@@ -71,7 +71,11 @@ def main(argv=None) -> int:
             cfg.checkpoint_dir = None
             print(f"=== PPI sweep lambda={lam} ===", flush=True)
             m = train_run(cfg)
-            rows.append({"lambda": lam, "f1": m.get("test_f1", 0.0)})
+            # Trainer.evaluate returns unprefixed metric keys; fail loudly
+            # if the contract changes rather than plotting silent zeros
+            if "f1" not in m:
+                raise KeyError(f"PPI metrics missing 'f1': {sorted(m)}")
+            rows.append({"lambda": lam, "f1": m["f1"]})
         csv_path = os.path.join(args.out_dir, "f1_scores_lambda.csv")
         with open(csv_path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=["lambda", "f1"])
@@ -87,12 +91,21 @@ def main(argv=None) -> int:
         ax.set_ylabel("PPI test micro-F1")
         fig.savefig(os.path.join(args.out_dir, "f1_vs_lambda.png"), dpi=120)
 
-    # vis figures from the freshly trained checkpoints
+    # vis figures from the freshly trained checkpoints (the Orbax "best"
+    # dir written by each dataset's Trainer above); without the explicit
+    # --checkpoint_path cli.vis would render random-init weights
     from gat_pytorch_tpu.cli import vis as vis_cli
     for ds in args.datasets:
+        best = os.path.join(args.out_dir, "ckpt", ds, "best")
+        ckpt_args = (["--checkpoint_path", best]
+                     if os.path.exists(best) else [])
+        if not ckpt_args:
+            print(f"[vis] no checkpoint at {best}; rendering random init",
+                  file=sys.stderr)
         for vt in ("Entropy", "Weight"):
             vis_cli.main(["--dataset", ds, "--vis_type", vt,
-                          "--out_dir", os.path.join(args.out_dir, "figures")])
+                          "--out_dir", os.path.join(args.out_dir, "figures")]
+                         + ckpt_args)
     print(json.dumps(results))
     return 0
 

@@ -63,18 +63,18 @@ def sample_subgraph(csr: CSRGraph,
     use_native = core.native_available()
     for fanout in fanouts:
         if use_native:
-            # native C++ fast path (csrc/graphcore.cpp gc_sample_neighbors;
-            # samples with replacement above the fanout — dedupe below
-            # keeps edges distinct, matching the numpy path's semantics)
+            # native C++ fast path (csrc/graphcore.cpp gc_sample_neighbors):
+            # exactly min(fanout, degree) distinct slots per frontier node,
+            # uniform without replacement (Floyd), same contract as the
+            # numpy branch. Dedupe only collapses parallel-edge duplicates.
             src, dst = core.sample_neighbors(
-                csr.offsets, csr.senders, frontier, max(fanouts),
+                csr.offsets, csr.senders, frontier, fanout,
                 int(rng.integers(2 ** 62)))
             pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
             per_v = {}
             for u, v in pairs:
                 per_v.setdefault(int(v), []).append(int(u))
-            hop = [(v, rng.permutation(np.asarray(us))[:fanout])
-                   for v, us in per_v.items()]
+            hop = list(per_v.items())
         else:
             hop = []
             for v in frontier:

@@ -130,8 +130,9 @@ def block_diagonal(senders: np.ndarray, receivers: np.ndarray,
 def sample_neighbors(offsets: np.ndarray, senders: np.ndarray,
                      seeds: np.ndarray, k: int, seed: int
                      ) -> Tuple[np.ndarray, np.ndarray]:
-    """Uniform in-neighbour sampling on the CSR view: up to k in-edges per
-    seed (all of them when degree <= k). Returns (src, dst) edge arrays."""
+    """Uniform in-neighbour sampling WITHOUT replacement on the CSR view:
+    exactly min(k, degree) distinct in-edge slots per seed, every k-subset
+    equally likely. Returns (src, dst) edge arrays."""
     lib = _load()
     offsets, senders, seeds = _i64(offsets), _i64(senders), _i64(seeds)
     if lib is None:
@@ -145,7 +146,7 @@ def sample_neighbors(offsets: np.ndarray, senders: np.ndarray,
             if deg <= k:
                 idx = np.arange(lo, hi)
             else:
-                idx = lo + rng.integers(0, deg, size=k)
+                idx = lo + rng.choice(deg, size=k, replace=False)
             src_list.append(senders[idx])
             dst_list.append(np.full(len(idx), v, dtype=np.int64))
         if not src_list:

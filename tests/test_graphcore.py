@@ -91,6 +91,34 @@ def test_sample_neighbors_invariants():
     edge_set = set(zip(ss.tolist(), rr.tolist()))
     for a, b in zip(src, dst):
         assert (int(a), int(b)) in edge_set
+    # without replacement: exactly min(k, deg) samples per seed
     for v in seeds:
-        deg = offs[v + 1] - offs[v]
-        assert int((dst == v).sum()) <= max(4, 0) or deg <= 4
+        deg = int(offs[v + 1] - offs[v])
+        assert int((dst == v).sum()) == min(4, deg)
+
+
+def test_sample_neighbors_without_replacement_uniform():
+    """ADVICE r1 (low): the native path must sample distinct slots
+    uniformly without replacement, matching the numpy spec — not
+    with-replacement + dedupe (which under-fills and biases). Star graph:
+    one hub with 12 distinct in-neighbours, fanout 4."""
+    deg, k, trials = 12, 4, 3000
+    senders = np.arange(1, deg + 1, dtype=np.int64)   # hub = node 0
+    receivers = np.zeros(deg, dtype=np.int64)
+    ss, rr = core.sort_by_destination(senders, receivers)
+    offs = core.csr_offsets(rr, deg + 1)
+    seeds = np.array([0], np.int64)
+
+    counts = np.zeros(deg + 2, dtype=np.int64)
+    for t in range(trials):
+        src, dst = core.sample_neighbors(offs, ss, seeds, k=k, seed=1000 + t)
+        # exactly k distinct draws every time
+        assert src.size == k
+        assert np.unique(src).size == k
+        counts[src] += 1
+    # each neighbour appears with P = k/deg = 1/3; bound the empirical
+    # frequency within 5 sigma of the binomial std
+    p = k / deg
+    sigma = (trials * p * (1 - p)) ** 0.5
+    dev = np.abs(counts[1:deg + 1] - trials * p)
+    assert (dev < 5 * sigma).all(), counts[1:deg + 1]

@@ -130,9 +130,11 @@ def test_gspmd_auto_sharding_compiles_and_matches(mesh):
 
 
 def test_dropout_decorrelated_across_edge_shards(mesh):
-    """Attention dropout masks must differ between edge shards but node
-    dropout must agree — checked via determinism across two runs and
-    non-triviality of the result."""
+    """Attention dropout masks must genuinely differ between edge shards:
+    the per-edge rng is folded with the shard's axis_index, so the same
+    batch stepped on an edge=4 mesh vs an edge=1 mesh draws different
+    masks and produces a different loss. Determinism within one
+    partitioning still holds."""
     cfg = tiny_cfg(dropout=0.4)
     task = make_task("PPI")
     batch = tiny_batch(4, seed=7)
@@ -146,6 +148,78 @@ def test_dropout_decorrelated_across_edge_shards(mesh):
     _, m2 = step(parallel.replicated(state, mesh), sb)
     assert float(m1["train_loss"]) == float(m2["train_loss"])  # deterministic
     assert np.isfinite(float(m1["train_loss"]))
+
+    # same state/batch on a (data=2, edge=1) mesh: node dropout keys agree
+    # (keyed by global graph index) but edge-shard folding differs -> the
+    # attention-dropout masks, and hence the loss, must differ.
+    mesh_e1 = parallel.make_mesh(data=2, edge=1, devices=jax.devices()[:2])
+    step_e1 = parallel.make_sharded_train_step(cfg, task, tx, mesh_e1)
+    _, m_e1 = step_e1(parallel.replicated(state, mesh_e1),
+                      parallel.put_batch(batch, mesh_e1))
+    assert float(m1["train_loss"]) != float(m_e1["train_loss"])
+
+    # with dropout off the two partitionings agree — isolates the diff
+    # above to the dropout masks, not the sharded arithmetic
+    cfg_nd = tiny_cfg(dropout=0.0)
+    step_nd = parallel.make_sharded_train_step(cfg_nd, task, tx, mesh)
+    step_nd_e1 = parallel.make_sharded_train_step(cfg_nd, task, tx, mesh_e1)
+    _, a = step_nd(parallel.replicated(state, mesh), sb)
+    _, b = step_nd_e1(parallel.replicated(state, mesh_e1),
+                      parallel.put_batch(batch, mesh_e1))
+    np.testing.assert_allclose(float(a["train_loss"]),
+                               float(b["train_loss"]), rtol=1e-5)
+
+
+def test_edge_sharded_cap_gradient_matches_unsharded():
+    """ADVICE r1 (high): with the global max-cap active (the default
+    paper_faithful=False config), sharded d(loss)/d(params) must match the
+    single-device gradient tightly. The cap is routed through
+    psum(where(owner, local_max, 0)) so psum's transpose delivers the
+    globally-summed cap cotangent to the owner shard's argmax logit —
+    the earlier where(owner, local, stop_grad(pmax)) formulation dropped
+    every non-owner shard's cotangent (~2.5% rel error on d/da)."""
+    from jax.sharding import PartitionSpec as P
+    from gat_pytorch_tpu.parallel.mesh import EDGE_AXIS
+
+    cfg = tiny_cfg()
+    assert not cfg.paper_faithful  # cap active
+    batch = tiny_batch(1, seed=13)
+    g = jax.tree_util.tree_map(lambda v: v[0], batch)
+    params = gat.init_gat_model(jax.random.key(5), cfg)
+
+    def loss_of(p, graph, edge_axis):
+        logits = gat.gat_model_apply(p, cfg, graph, training=False,
+                                     edge_axis=edge_axis)
+        return jnp.mean(logits ** 2)
+
+    want = jax.grad(loss_of)(params, g, None)
+
+    mesh_e = parallel.make_mesh(data=1, edge=8)
+    espec, nspec = P(None, EDGE_AXIS), P(None)
+    gspecs = g.replace(x=nspec, senders=espec, receivers=espec,
+                       edge_mask=espec, node_mask=nspec, y=nspec,
+                       graph_ids=nspec, src_order=espec)
+    # strip the leading data axis the batch specs assume
+    gspecs = jax.tree_util.tree_map(
+        lambda s: P(*s[1:]), gspecs,
+        is_leaf=lambda s: isinstance(s, P))
+
+    def body(p, graph):
+        # grads of replicated params leave value_and_grad already psummed
+        # over the mesh axes (pvary transpose under check_vma)
+        return jax.grad(loss_of)(p, graph, EDGE_AXIS)
+
+    got = jax.jit(jax.shard_map(body, mesh=mesh_e,
+                                in_specs=(P(), gspecs), out_specs=P(),
+                                check_vma=True))(params, g)
+
+    flat_got = jax.tree_util.tree_leaves_with_path(got)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(want))
+    for path, a in flat_got:
+        b = flat_want[path]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
 def test_dryrun_multichip_entrypoint():
