@@ -71,11 +71,12 @@ def main(argv=None) -> int:
             cfg.checkpoint_dir = None
             print(f"=== PPI sweep lambda={lam} ===", flush=True)
             m = train_run(cfg)
-            # Trainer.evaluate returns unprefixed metric keys; fail loudly
-            # if the contract changes rather than plotting silent zeros
-            if "f1" not in m:
-                raise KeyError(f"PPI metrics missing 'f1': {sorted(m)}")
-            rows.append({"lambda": lam, "f1": m["f1"]})
+            # cli.train.run returns Trainer.evaluate's phase-prefixed keys
+            # (tested: test_metric_key_contract); fail loudly if the
+            # contract changes rather than plotting silent zeros
+            if "test_f1" not in m:
+                raise KeyError(f"PPI metrics missing 'test_f1': {sorted(m)}")
+            rows.append({"lambda": lam, "f1": m["test_f1"]})
         csv_path = os.path.join(args.out_dir, "f1_scores_lambda.csv")
         with open(csv_path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=["lambda", "f1"])

@@ -64,13 +64,25 @@ def _load_planetoid(name: str) -> RawGraph:
     test_idx = _parse_index_file(os.path.join(d, f"ind.{low}.test.index"))
     test_sorted = np.sort(test_idx)
 
+    # Citeseer has isolated test nodes missing from tx/ty (their indices
+    # are absent from test.index, leaving gaps in the contiguous range):
+    # re-index tx/ty over range(min, max+1) with zero-fill, the canonical
+    # Kipf/GCN fix that PyG's Planetoid also applies. No-op for Cora and
+    # Pubmed whose test ranges are dense.
+    t_min, t_max = int(test_sorted[0]), int(test_sorted[-1])
+    full = t_max - t_min + 1
+    if full != len(test_sorted):
+        tx_ext = sp.lil_matrix((full, allx.shape[1]), dtype=np.float32)
+        tx_ext[test_sorted - t_min, :] = tx
+        tx = tx_ext
+        ty_ext = np.zeros((full, ally.shape[1]), dtype=ally.dtype)
+        ty_ext[test_sorted - t_min, :] = ty
+        ty = ty_ext
+
     features = sp.vstack((allx, tx)).tolil()
     features[test_idx, :] = features[test_sorted, :]
     labels = np.vstack((ally, ty))
     labels[test_idx, :] = labels[test_sorted, :]
-    # Citeseer has isolated test nodes missing from tx — PyG zero-fills;
-    # the vstack above covers the contiguous range, matching PyG's result
-    # for the standard splits.
     n = features.shape[0]
     senders, receivers = [], []
     for v, nbrs in graph.items():

@@ -67,6 +67,110 @@ def test_planetoid_kipf_format_roundtrip(tmp_path, monkeypatch):
             assert (u, v) in es and (v, u) in es
 
 
+def test_planetoid_isolated_test_nodes_citeseer(tmp_path, monkeypatch):
+    """Citeseer regression: test.index lists a NON-contiguous subset of the
+    trailing range (isolated nodes are absent, so tx/ty have fewer rows
+    than the range spans). The loader must zero-fill the gaps over
+    range(min, max+1) — indexing features[test_idx] directly would
+    IndexError with max(test_idx)+1 > allx.rows + tx.rows."""
+    rng = np.random.default_rng(3)
+    n, nf, nc = 60, 12, 4
+    name, low = "Citeseer", "citeseer"
+    d = os.path.join(str(tmp_path), name, "raw")
+    os.makedirs(d)
+    x_all = (rng.random((n, nf)) < 0.3).astype(np.float32)
+    y_all = np.eye(nc, dtype=np.int64)[rng.integers(0, nc, n)]
+    n_rest = 45                       # trailing range = 45..59 (15 slots)
+    listed = np.array([45, 46, 48, 49, 51, 52, 53, 55, 56, 57, 59])
+    isolated = sorted(set(range(n_rest, n)) - set(listed))
+    # shuffled parse order, as in the real files
+    parse_order = rng.permutation(listed)
+    parts = {
+        "x": scipy_sparse.csr_matrix(x_all[:20]),
+        "y": y_all[:20],
+        "allx": scipy_sparse.csr_matrix(x_all[:n_rest]),
+        "ally": y_all[:n_rest],
+        # tx/ty rows correspond to the PARSE ORDER of test.index
+        # (Kipf format: tx row j belongs to node test_idx_reorder[j])
+        "tx": scipy_sparse.csr_matrix(x_all[parse_order]),
+        "ty": y_all[parse_order],
+    }
+    graph = {}
+    for _ in range(n * 3):
+        a, b = rng.integers(0, n, 2)
+        graph.setdefault(int(a), []).append(int(b))
+    parts["graph"] = graph
+    for part, val in parts.items():
+        with open(os.path.join(d, f"ind.{low}.{part}"), "wb") as f:
+            pickle.dump(val, f)
+    with open(os.path.join(d, f"ind.{low}.test.index"), "w") as f:
+        f.write("\n".join(str(i) for i in parse_order))
+
+    monkeypatch.setenv("GAT_TPU_DATA", str(tmp_path))
+    assert not datasets.is_synthetic(name)
+    raw = datasets.load_planetoid(name)
+    assert raw.x.shape == (n, nf)
+    # listed test nodes keep their features/labels
+    np.testing.assert_allclose(raw.x[listed], x_all[listed])
+    np.testing.assert_array_equal(raw.y[listed], y_all.argmax(1)[listed])
+    # isolated nodes zero-filled, excluded from the test mask
+    for i in isolated:
+        np.testing.assert_array_equal(raw.x[i], 0.0)
+        assert not raw.test_mask[i]
+    assert raw.test_mask[listed].all()
+    # train/val region untouched
+    np.testing.assert_allclose(raw.x[:n_rest], x_all[:n_rest])
+
+
+class _DataLike:
+    """Module-level (torch.save-picklable) stand-in for a PyG Data object
+    with x / edge_index / y attributes."""
+
+    def __init__(self, x, edge_index, y):
+        self.x = x
+        self.edge_index = edge_index
+        self.y = y
+
+
+def test_pattern_torch_format_roundtrip(tmp_path, monkeypatch):
+    """PATTERN .pt parser against a planted torch-saved file, in both
+    shapes the parser understands (list of dicts / list of objects with
+    x, edge_index, y attributes — the PyG Data duck-type)."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(4)
+    d = tmp_path / "PATTERN"
+    os.makedirs(d)
+
+    planted = []
+    blob = []
+    for gi in range(3):
+        nn = 10 + 3 * gi
+        x = rng.normal(size=(nn, 3)).astype(np.float32)
+        ei = rng.integers(0, nn, (2, nn * 2)).astype(np.int64)
+        y = rng.integers(0, 2, nn).astype(np.int64)
+        planted.append((x, ei, y))
+        if gi % 2 == 0:
+            blob.append({"x": torch.from_numpy(x),
+                         "edge_index": torch.from_numpy(ei),
+                         "y": torch.from_numpy(y)})
+        else:
+            blob.append(_DataLike(torch.from_numpy(x),
+                                  torch.from_numpy(ei),
+                                  torch.from_numpy(y)))
+    for split in ("train", "val", "test"):
+        torch.save(blob, d / f"{split}.pt")
+
+    monkeypatch.setenv("GAT_TPU_DATA", str(tmp_path))
+    assert not datasets.is_synthetic("PATTERN")
+    graphs = datasets.load_pattern("train")
+    assert len(graphs) == 3
+    for g, (x, ei, y) in zip(graphs, planted):
+        np.testing.assert_allclose(g.x, x)
+        np.testing.assert_array_equal(g.senders, ei[0])
+        np.testing.assert_array_equal(g.receivers, ei[1])
+        np.testing.assert_array_equal(g.y, y)
+
+
 def test_ppi_graphsage_format_roundtrip(tmp_path, monkeypatch):
     rng = np.random.default_rng(1)
     d = tmp_path / "PPI" / "raw"

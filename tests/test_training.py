@@ -67,6 +67,27 @@ def test_ppi_synthetic_learns_batched():
     assert len(shapes) == 1
 
 
+def test_metric_key_contract():
+    """Trainer.evaluate (and hence cli.train.run's returned test metrics)
+    uses phase-prefixed keys — examples/reproduce_experiments.py and
+    examples/validate_real.py read 'test_f1'/'test_acc' and must fail
+    loudly, not plot zeros, if this contract drifts."""
+    from gat_pytorch_tpu.models.gat import init_gat_model
+    val = make_ppi_like("val", num_graphs=1)
+    batches = loader.InductiveBatcher(val, 1, shuffle=False).epoch()
+    cfg = dataclasses.replace(
+        get_config("PPI"),
+        num_layers=2, num_heads_per_layer=[2, 2],
+        heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[50, 8, 121],
+        add_skip_connection=[False, False]).gat_config()
+    tr = Trainer(cfg=cfg, task=make_task("PPI"), learning_rate=1e-3,
+                 max_epochs=1, seed=0)
+    params = init_gat_model(jax.random.key(0), cfg)
+    assert {"test_f1", "test_loss"} <= set(tr.evaluate(params, batches))
+    assert "val_f1" in tr.evaluate(params, batches, phase="val")
+
+
 def test_pattern_synthetic_with_plateau_scheduler():
     train = datasets.load_pattern("train", num_graphs=16)
     val = datasets.load_pattern("val", num_graphs=4)
