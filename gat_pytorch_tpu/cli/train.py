@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int)
     p.add_argument("--seed", type=int)
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--checkpoint_every_n_epochs", type=int, default=None,
+                   help="also save <checkpoint_dir>/epoch-N snapshots "
+                        "(the reference's PPI-{1,5,20,50,100}epochs "
+                        "weight-vis sweep artifacts)")
     p.add_argument("--platform", default=None,
                    help="jax platform override (cpu for local debugging)")
     p.add_argument("--synthetic", action="store_true", default=None,
@@ -122,7 +126,9 @@ def run(config) -> dict:
                       log_every=config.log_every,
                       metrics_file=config.metrics_file,
                       tensorboard_dir=config.tensorboard_dir,
-                      track_grads=config.track_grads)
+                      track_grads=config.track_grads,
+                      checkpoint_every_n_epochs=(
+                          config.checkpoint_every_n_epochs))
 
     if config.exec_type == "load":
         if not ckpt_dir or not os.path.exists(os.path.join(ckpt_dir, "best")):

@@ -53,8 +53,9 @@ def _load_params(path, cfg, run_cfg):
                                 run_cfg.add_skip_connection)
     from ..train.trainer import Trainer
     like = init_gat_model(jax.random.key(0), cfg)
-    return Trainer.load_checkpoint(os.path.dirname(path) or path,
-                                   like)["params"]
+    # load_checkpoint accepts the checkpoint dir itself (best / epoch-N
+    # snapshots) or a parent dir containing "best"
+    return Trainer.load_checkpoint(path, like)["params"]
 
 
 def get_test_graph(dataset: str, synthetic=None):

@@ -210,6 +210,11 @@ class Trainer:
     #                                      GATModel.on_after_backward,
     #                                      :237-253), logged every
     #                                      max(log_every, 1) epochs
+    checkpoint_every_n_epochs: int = 0   # 0 = best-only; N > 0 also saves
+    #                                      <checkpoint_dir>/epoch-<E> every
+    #                                      N epochs (the reference ships
+    #                                      PPI-{1,5,20,50,100}epochs.ckpt
+    #                                      snapshots, vis.py:59-69)
 
     def _logger(self):
         from .logging import MetricsLogger
@@ -230,6 +235,40 @@ class Trainer:
             name = "grad/" + "/".join(str(getattr(p, "key", getattr(
                 p, "idx", p))) for p in path)
             logger.log_histogram(epoch, name, np.asarray(leaf))
+
+    def _log_attention_histograms(self, logger, epoch: int, params,
+                                  graph: Graph) -> None:
+        """Per-layer attention histograms to TensorBoard: alpha*deg
+        ("unnormalised attention") and alpha*deg - 1, the reference's
+        in-training logging inside calc_attention_norm
+        (reference models/GATModel.py:216-221; same tag names)."""
+        if not self.tensorboard_dir:
+            return
+        from ..ops import segment as seg
+        _, attention = jax.jit(
+            lambda p, g: gat.gat_model_apply(
+                p, self.cfg, g, training=False, return_attention=True,
+                backend="xla"))(params, graph)
+        deg = seg.in_degree(graph.receivers, graph.num_nodes,
+                            edge_mask=graph.edge_mask)
+        deg_e = np.asarray(seg.gather_rows(deg, graph.receivers))
+        emask = np.asarray(graph.edge_mask)
+        for i, alpha in enumerate(attention):
+            unnorm = np.asarray(alpha)[emask] * deg_e[emask][:, None]
+            logger.log_histogram(
+                epoch, f"unnormalised_attention_layer_{i}", unnorm)
+            logger.log_histogram(
+                epoch, f"attention_minus_const_layer_{i}", unnorm - 1.0)
+
+    def _maybe_snapshot(self, epoch: int, state: TrainState,
+                        best_val: float) -> None:
+        """Every-N-epochs snapshot to <checkpoint_dir>/epoch-<E> (1-based
+        epoch count, matching the reference's '<ds>-<E>epochs.ckpt'
+        artifacts)."""
+        n = self.checkpoint_every_n_epochs
+        if n and self.checkpoint_dir and (epoch + 1) % n == 0:
+            self.save_checkpoint(state, epoch, best_val,
+                                 name=f"epoch-{epoch + 1}")
 
     def init_state(self, tx) -> TrainState:
         rng = jax.random.key(self.seed)
@@ -280,6 +319,8 @@ class Trainer:
                 if epoch % max(self.log_every, 1) == 0:
                     self._log_grad_histograms(logger, epoch, state,
                                               batches[0])
+                    self._log_attention_histograms(logger, epoch,
+                                                   state.params, batches[0])
                 if self.log_every and epoch % self.log_every == 0:
                     print({k: (round(v, 4) if isinstance(v, float) else v)
                            for k, v in row.items()})
@@ -293,6 +334,7 @@ class Trainer:
                         lambda x: x, state.params)
                     if self.checkpoint_dir:
                         self.save_checkpoint(state, epoch, best_val)
+                self._maybe_snapshot(epoch, state, best_val)
                 if self.plateau is not None:
                     new_lr = self.plateau.step(val_loss, lr)
                     if new_lr != lr:
@@ -324,6 +366,13 @@ class Trainer:
         if params is not None:
             state = dataclasses.replace(
                 state, params=params, opt_state=tx.init(params))
+        # per-epoch params only exist at block boundaries, so align the
+        # scan length with the snapshot cadence (gcd => every multiple of
+        # checkpoint_every_n_epochs lands on a boundary)
+        if self.checkpoint_every_n_epochs:
+            import math
+            epochs_per_block = math.gcd(epochs_per_block,
+                                        self.checkpoint_every_n_epochs)
         block = make_scanned_fit_block(self.cfg, self.task, tx,
                                        epochs_per_block)
 
@@ -356,6 +405,10 @@ class Trainer:
                         stopped = True
                         break
                 epoch += n
+                self._maybe_snapshot(epoch - 1, state, float(best[0]))
+                # once per block (per-epoch alphas don't exist host-side)
+                self._log_attention_histograms(logger, epoch - 1,
+                                               state.params, graph)
         finally:
             logger.close()
 
@@ -433,6 +486,9 @@ class Trainer:
                 if self.log_every and epoch % self.log_every == 0:
                     print({k: (round(v, 4) if isinstance(v, float) else v)
                            for k, v in row.items()})
+                if epoch % max(self.log_every, 1) == 0:
+                    self._log_attention_histograms(logger, epoch,
+                                                   state.params, batches[0])
                 val_loss = row["val_loss"]
                 if val_loss < best_val:
                     best_val, best_epoch = val_loss, epoch
@@ -440,6 +496,7 @@ class Trainer:
                                                          state.params)
                     if self.checkpoint_dir:
                         self.save_checkpoint(state, epoch, best_val)
+                self._maybe_snapshot(epoch, state, best_val)
                 if self.plateau is not None:
                     new_lr = self.plateau.step(val_loss, lr)
                     if new_lr != lr:
@@ -539,9 +596,9 @@ class Trainer:
     # §5.4: weights + Adam moments + epoch/step + monitored metric), so a
     # restore resumes training exactly, not just inference.
     def save_checkpoint(self, state: TrainState, epoch: int,
-                        best_val: float) -> None:
+                        best_val: float, name: str = "best") -> None:
         import orbax.checkpoint as ocp
-        path = os.path.abspath(os.path.join(self.checkpoint_dir, "best"))
+        path = os.path.abspath(os.path.join(self.checkpoint_dir, name))
         ckptr = ocp.StandardCheckpointer()
         payload = {"params": state.params,
                    "opt_state": state.opt_state,
@@ -553,13 +610,18 @@ class Trainer:
         ckptr.wait_until_finished()
 
     @staticmethod
-    def load_checkpoint(checkpoint_dir: str, like: dict,
+    def load_checkpoint(checkpoint_path: str, like: dict,
                         opt_state_like=None) -> dict:
-        """Restore a checkpoint. `like`: a params pytree with the target
-        structure; `opt_state_like`: optional optimizer-state structure
-        for full-state resume (omit for inference-only restore)."""
+        """Restore a checkpoint. `checkpoint_path` is either an Orbax
+        checkpoint directory itself (.../best, .../epoch-20) or a Trainer
+        checkpoint_dir containing a "best" subdir (legacy call shape).
+        `like`: a params pytree with the target structure;
+        `opt_state_like`: optional optimizer-state structure for
+        full-state resume (omit for inference-only restore)."""
         import orbax.checkpoint as ocp
-        path = os.path.abspath(os.path.join(checkpoint_dir, "best"))
+        path = os.path.abspath(checkpoint_path)
+        if os.path.isdir(os.path.join(path, "best")):
+            path = os.path.join(path, "best")
         ckptr = ocp.StandardCheckpointer()
         target = {"params": like,
                   "opt_state": opt_state_like,

@@ -37,6 +37,7 @@ class RunConfig:
     # runtime extras
     exec_type: str = "train"
     checkpoint_dir: str = "checkpoints"
+    checkpoint_every_n_epochs: int = 0    # also save epoch-N snapshots
     seed: int = 0
     synthetic: Optional[bool] = None      # None = auto (real if present)
     log_every: int = 0

@@ -94,6 +94,28 @@ def test_vis_cli_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "Cora-Entropy.png")
 
 
+def test_vis_cli_orbax_epoch_snapshot(tmp_path):
+    """vis CLI loads our own Orbax epoch-N snapshots (the artifacts the
+    reference's PPI weight-vis sweep consumes, produced here by
+    checkpoint_every_n_epochs)."""
+    from gat_pytorch_tpu.cli.train import run as train_run
+    from gat_pytorch_tpu.cli.vis import main
+    from gat_pytorch_tpu.utils.config import get_config
+    cfg = get_config("Cora", synthetic=True)
+    cfg.num_epochs = 1
+    cfg.checkpoint_dir = str(tmp_path / "ck")
+    cfg.checkpoint_every_n_epochs = 1
+    cfg.log_every = 0
+    train_run(cfg)
+    snap = str(tmp_path / "ck" / "epoch-1")
+    assert os.path.isdir(snap)
+    rc = main(["--dataset", "Cora", "--vis_type", "Weight",
+               "--checkpoint_path", snap, "--out_dir", str(tmp_path),
+               "--synthetic"])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "Cora-Weight.png")
+
+
 def test_vis_cli_reference_checkpoint(tmp_path):
     ckpt = "/root/reference/checkpoints/Cora-100epochs.ckpt"
     if not os.path.exists(ckpt):
