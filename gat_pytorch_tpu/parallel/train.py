@@ -38,9 +38,11 @@ def _global_batch_size(mesh: Mesh, local_b: int) -> int:
 
 
 def make_sharded_train_step(cfg: gat.GATConfig, task: Task, tx,
-                            mesh: Mesh) -> Callable:
-    """Jitted train step over a stacked GraphBatch (leading dim B divisible
-    by the mesh's data-axis size)."""
+                            mesh: Mesh, jit: bool = True) -> Callable:
+    """Train step over a stacked GraphBatch (leading dim B divisible by
+    the mesh's data-axis size). `jit=False` returns the raw function for
+    embedding in a larger compiled program (Trainer.fit_sharded scans a
+    whole epoch of batch groups around it)."""
     need_attention = task.attention_coef != 0.0
 
     def per_graph_loss(params, graph: Graph, rng):
@@ -107,11 +109,11 @@ def make_sharded_train_step(cfg: gat.GATConfig, task: Task, tx,
         return TrainState(params=params, opt_state=opt_state, rng=rng,
                           step=state.step + 1), out
 
-    return jax.jit(train_step)
+    return jax.jit(train_step) if jit else train_step
 
 
 def make_sharded_eval_step(cfg: gat.GATConfig, task: Task, mesh: Mesh,
-                           phase: str) -> Callable:
+                           phase: str, jit: bool = True) -> Callable:
 
     def per_graph_metrics(params, graph: Graph):
         logits = gat.gat_model_apply(params, cfg, graph, training=False,
@@ -131,4 +133,4 @@ def make_sharded_eval_step(cfg: gat.GATConfig, task: Task, mesh: Mesh,
             in_specs=(P(), specs), out_specs=P(),
             check_vma=False)(params, batch)
 
-    return jax.jit(eval_step)
+    return jax.jit(eval_step) if jit else eval_step

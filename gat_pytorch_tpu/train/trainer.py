@@ -522,13 +522,18 @@ class Trainer:
                     reshuffle: Optional[Callable[[int],
                                                  Sequence[Graph]]] = None
                     ) -> TrainResult:
-        """fit() over a (data, edge) device mesh: consecutive same-bucket
-        batches are stacked `data`-axis-wide and each step runs the SPMD
-        shard_map program (parallel/train.py). DDP-style wrap-around when
-        the batch count doesn't divide the data-axis size."""
+        """First-class fit() over a (data, edge) device mesh: consecutive
+        same-bucket batches are stacked `data`-axis-wide, and the whole
+        epoch of batch groups is lax.scan'd through the SPMD shard_map
+        step inside ONE compiled program (one train + one val dispatch per
+        epoch, like fit_scanned_epochs). Full trainer semantics:
+        best-checkpointing, epoch snapshots, plateau LR, early stopping.
+        DDP-style wrap-around fills the last group when the batch count
+        doesn't divide the data-axis size."""
         from ..parallel import (make_sharded_eval_step,
-                                make_sharded_train_step, put_batch,
-                                replicated, stack_graphs)
+                                make_sharded_train_step, replicated,
+                                stack_graphs)
+        from ..parallel.sharding import stack_group_batches
         from ..parallel.mesh import DATA_AXIS
 
         dp = mesh.shape[DATA_AXIS]
@@ -539,16 +544,30 @@ class Trainer:
                 chunk = list(batches[i:i + dp])
                 while len(chunk) < dp:           # wrap-around fill
                     chunk.append(batches[len(chunk) % len(batches)])
-                out.append(put_batch(stack_graphs(chunk), mesh))
-            return out
+                out.append(stack_graphs(chunk))
+            return stack_group_batches(out, mesh)
 
         tx = O.adam_l2(self.learning_rate, self.weight_decay)
         state = replicated(self.init_state(tx), mesh)
-        train_step = make_sharded_train_step(self.cfg, self.task, tx, mesh)
-        val_step = make_sharded_eval_step(self.cfg, self.task, mesh, "val")
-        val_groups = group(list(val_data))
+        step_fn = make_sharded_train_step(self.cfg, self.task, tx, mesh,
+                                          jit=False)
+        val_fn = make_sharded_eval_step(self.cfg, self.task, mesh, "val",
+                                        jit=False)
 
+        @jax.jit
+        def train_epoch(state, groups):
+            return jax.lax.scan(step_fn, state, groups)
+
+        @jax.jit
+        def val_epoch(params, groups):
+            def body(_, b):
+                return 0, val_fn(params, b)
+            _, mets = jax.lax.scan(body, 0, groups)
+            return mets
+
+        val_groups = group(list(val_data))
         stopper = O.EarlyStopping(patience=self.patience)
+        lr = self.learning_rate
         best_val, best_epoch = float("inf"), -1
         best_params = state.params
         history: List[Dict[str, float]] = []
@@ -557,24 +576,38 @@ class Trainer:
         logger = self._logger()
         try:
             for epoch in range(self.max_epochs):
-                batches = group(list(reshuffle(epoch) if reshuffle
-                                     else train_data))
-                mets = []
-                for b in batches:
-                    state, m = train_step(state, b)
-                    mets.append(m)
-                vals = [val_step(state.params, b) for b in val_groups]
-                row = _mean_metrics(mets)
-                row.update({f"val_{k}": v
-                            for k, v in _mean_metrics(vals).items()})
+                groups = group(list(reshuffle(epoch) if reshuffle
+                                    else train_data))
+                state, tmets = train_epoch(state, groups)
+                vmets = val_epoch(state.params, val_groups)
+                row = {k: float(np.mean(np.asarray(v)))
+                       for k, v in tmets.items()}
+                row.update({f"val_{k}": float(np.mean(np.asarray(v)))
+                            for k, v in vmets.items()})
                 row["epoch"] = epoch
+                row["lr"] = lr
                 history.append(row)
                 logger.log_scalars(epoch, row)
-                if row["val_loss"] < best_val:
-                    best_val, best_epoch = row["val_loss"], epoch
+                if self.log_every and epoch % self.log_every == 0:
+                    print({k: (round(v, 4) if isinstance(v, float) else v)
+                           for k, v in row.items()})
+                val_loss = row["val_loss"]
+                if val_loss < best_val:
+                    best_val, best_epoch = val_loss, epoch
                     best_params = jax.tree_util.tree_map(lambda x: x,
                                                          state.params)
-                if stopper.update(row["val_loss"]):
+                    if self.checkpoint_dir:
+                        self.save_checkpoint(state, epoch, best_val)
+                self._maybe_snapshot(epoch, state, best_val)
+                if self.plateau is not None:
+                    new_lr = self.plateau.step(val_loss, lr)
+                    if new_lr != lr:
+                        lr = new_lr
+                        state = dataclasses.replace(
+                            state,
+                            opt_state=O.set_learning_rate(state.opt_state,
+                                                          lr))
+                if stopper.update(val_loss):
                     stopped = True
                     break
         finally:
