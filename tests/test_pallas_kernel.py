@@ -220,6 +220,60 @@ def test_sharded_layer_fused_matches_xla():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("dropout", [0.0, 0.3])
+def test_sharded_train_step_pallas_vs_xla_backward(dropout):
+    """Backward-INCLUSIVE sharded parity (VERDICT r1 weak #2): the full
+    edge-partitioned train step — fused partial kernel forward, fused
+    partial backward, psum completion, loss, value_and_grad — with
+    backend="pallas" must match backend="xla" under identical shard_map
+    machinery (interpret mode on CPU; check_vma=False because interpret
+    inlines the kernel jaxpr, so BOTH sides run the same unchecked
+    semantics and grads of replicated params are compared as-is)."""
+    from jax.sharding import PartitionSpec as P
+    from gat_pytorch_tpu import parallel
+
+    mesh = parallel.make_mesh(data=1, edge=8)
+    graph = _tiny_graph(seed=31, num_nodes=96)
+    cfg = gat.GATConfig(
+        num_input_node_features=12, num_layers=2,
+        num_heads_per_layer=[2, 2], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[12, 8, 4], num_classes=4,
+        add_skip_connection=[False, True], dropout=dropout)
+    params = gat.init_gat_model(jax.random.key(7), cfg)
+    rng = jax.random.key(11)
+
+    def make_step(backend):
+        def body(p, x, s, r, em, so):
+            g = graph.replace(x=x, senders=s, receivers=r, edge_mask=em,
+                              src_order=so)
+
+            def loss(p):
+                out = gat.gat_model_apply(
+                    p, cfg, g, rng=rng, training=dropout > 0.0,
+                    edge_axis="edge", backend=backend)
+                return jnp.mean(out ** 2)
+
+            return jax.value_and_grad(loss)(p)
+
+        return jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P("edge"), P("edge"), P("edge"),
+                      P("edge")),
+            out_specs=P(), check_vma=False))
+
+    args = (params, graph.x, graph.senders, graph.receivers,
+            graph.edge_mask, graph.src_order)
+    loss_p, grads_p = make_step("pallas")(*args)
+    loss_x, grads_x = make_step("xla")(*args)
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(grads_p),
+            jax.tree_util.tree_leaves_with_path(grads_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 @pytest.mark.parametrize("num_segments,e,d", [
     (128, 700, 16), (384, 3000, 7), (256, 50, 64),
 ])
