@@ -33,6 +33,11 @@ def main(argv=None) -> int:
     p.add_argument("--avg_degree", type=int, default=16)
     p.add_argument("--features", type=int, default=64)
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--layout", default="cut",
+                   choices=["cut", "dst_owned"],
+                   help="cut: equal edge slices + psum completion; "
+                        "dst_owned: boundary-free partition, one "
+                        "all_gather/layer (parallel/partition.py)")
     args = p.parse_args(argv)
 
     if args.simulate:
@@ -63,20 +68,44 @@ def main(argv=None) -> int:
     tx = O.adam_l2(1e-3)
     e_real = int(np.asarray(graph.edge_mask).sum())
 
+    import re as _re
+
+    def collective_bytes(compiled_text: str) -> int:
+        total = 0
+        for ln in compiled_text.splitlines():
+            mm = _re.search(r"= (.*?) (?:all-reduce|all-gather|"
+                            r"reduce-scatter|all-to-all)\(", ln)
+            if not mm:
+                continue
+            for tm in _re.finditer(r"[fsu]\d+\[([\d,]*)\]", mm.group(1)):
+                s = 1
+                for d in tm.group(1).split(","):
+                    if d:
+                        s *= int(d)
+                total += 4 * s
+        return total
+
     n_total = len(jax.devices())
     widths = [w for w in (1, 2, 4, 8, 16, 32) if w <= n_total]
     base = None
+    dst_owned = args.layout == "dst_owned"
     for w in widths:
         mesh = parallel.make_mesh(data=1, edge=w,
                                   devices=jax.devices()[:w])
-        batch = parallel.put_batch(parallel.stack_graphs([graph]), mesh)
+        g = graph
+        if dst_owned:
+            g, _ = parallel.partition_edges_by_dst(graph, w)
+        batch = parallel.put_batch(parallel.stack_graphs([g]), mesh)
         params_key, rng = jax.random.split(jax.random.key(0))
         from gat_pytorch_tpu.models.gat import init_gat_model
         params = init_gat_model(params_key, cfg)
         state = parallel.replicated(
             TrainState(params=params, opt_state=tx.init(params), rng=rng,
                        step=jnp.int32(0)), mesh)
-        step = parallel.make_sharded_train_step(cfg, task, tx, mesh)
+        step = parallel.make_sharded_train_step(cfg, task, tx, mesh,
+                                                dst_owned=dst_owned)
+        comm = collective_bytes(
+            jax.jit(step).lower(state, batch).compile().as_text())
         state, mets = step(state, batch)
         float(np.asarray(mets["train_loss"]))
         t0 = time.perf_counter()
@@ -89,11 +118,13 @@ def main(argv=None) -> int:
             base = eps
         print(json.dumps({
             "edge_axis": w,
+            "layout": args.layout,
             "mode": "simulated-cpu" if args.simulate else
             jax.devices()[0].platform,
             "ms_per_step": round(dt * 1e3, 3),
             "edges_per_s": round(eps, 1),
             "scaling_efficiency": round(eps / (base * w), 4),
+            "collective_bytes_per_step": comm,
         }), flush=True)
     return 0
 

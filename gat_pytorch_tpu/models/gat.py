@@ -133,7 +133,8 @@ def gat_layer_apply(params: Params,
                     return_attention: bool = False,
                     edge_axis: Optional[str] = None,
                     backend: str = "auto",
-                    src_order: Optional[jax.Array] = None):
+                    src_order: Optional[jax.Array] = None,
+                    dst_owned: bool = False):
     """One GAT layer forward. Graph must be canonicalised (self-loops added,
     dst-sorted, padded — graph/transforms.canonicalize).
 
@@ -147,6 +148,16 @@ def gat_layer_apply(params: Params,
     global logit max-cap, segment-softmax denominators of cut
     neighbourhoods, and the SpMM partial aggregates — are completed with
     pmax/psum collectives over `edge_axis`; everything else is unchanged.
+
+    dst_owned: the boundary-free edge layout (parallel/partition.py):
+    each shard's edge slice holds exactly the in-edges of its dst node
+    range [j*N/K, (j+1)*N/K), so segment softmax and aggregation run
+    LOCALLY over the shard's rows and the only per-layer collective is
+    one tiled all_gather of the output slices — replacing the full-size
+    num/denom psums of the cut-neighbourhood layout (~3x less collective
+    traffic). Requires edge_axis and a graph prepared by
+    partition_edges_by_dst (receivers stay GLOBAL ids; src_order holds
+    per-shard LOCAL permutations).
     """
     nh, f = cfg.num_heads, cfg.out_features
     E = senders.shape[0]
@@ -157,8 +168,12 @@ def gat_layer_apply(params: Params,
     # the replicated h) — otherwise every shard would redundantly compute
     # the full product. all_gather's transpose (psum_scatter) gives the
     # correct sharded gradient automatically under check_vma.
-    if edge_axis is not None and num_nodes % jax.lax.axis_size(
-            edge_axis) == 0:
+    # dst_owned deliberately takes the REPLICATED branch: its design goal
+    # is minimal collective traffic (one out all_gather per layer), and a
+    # redundant GEMM is cheap next to the h all_gather + its backward
+    # reduce_scatter it eliminates (GAT GEMMs are narrow).
+    if (edge_axis is not None and not dst_owned
+            and num_nodes % jax.lax.axis_size(edge_axis) == 0):
         k = jax.lax.axis_size(edge_axis)
         rows = num_nodes // k
         x_local = jax.lax.dynamic_slice_in_dim(
@@ -230,10 +245,11 @@ def gat_layer_apply(params: Params,
         masked_logits = jnp.where(edge_mask[:, None], logits, fsa.NEG_INF)
         if cfg.paper_faithful:
             # pre-subtract the per-segment max (detached) in XLA; the
-            # kernel then only needs exp->denom->aggregate
+            # kernel then only needs exp->denom->aggregate. dst_owned:
+            # every segment is shard-local, the pmax is unnecessary
             seg_max = jax.lax.stop_gradient(
                 seg.segment_max(masked_logits, receivers, num_nodes))
-            if edge_axis is not None:
+            if edge_axis is not None and not dst_owned:
                 seg_max = jax.lax.pmax(seg_max, edge_axis)
             seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
             masked_logits = jnp.where(
@@ -250,17 +266,28 @@ def gat_layer_apply(params: Params,
             keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout,
                                         (E, nh))
             drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
-        if src_order is not None and edge_axis is None:
-            from ..ops.pallas.gather import gather_rows_src_sorted
-            h_src_flat = gather_rows_src_sorted(
-                h_flat, senders, src_order, num_nodes, interpret)
+        if edge_axis is None:
+            # v4 table op: the op owns the node->edge gather (one XLA
+            # gather straight into the kernel's edge-major layout — no
+            # transpose/concat/pad passes, docs/PERF.md round-2) and
+            # routes d(h) through the sorted segment-sum via src_order
+            out = fsa.fused_segment_attention_table(
+                masked_logits, h_flat, senders, receivers, drop_mask,
+                src_order, num_nodes, nh, f, eps, 256, 128, interpret)
+        elif dst_owned:
+            # boundary-free layout: full (normalised) kernel over the
+            # LOCAL dst rows, gathering from the replicated table; one
+            # tiled all_gather assembles the output — no psums
+            rows = num_nodes // jax.lax.axis_size(edge_axis)
+            recv_local = receivers - jax.lax.axis_index(edge_axis) * rows
+            out_local = fsa.fused_segment_attention_table(
+                masked_logits, h_flat, senders, recv_local, drop_mask,
+                src_order, rows, nh, f, eps, 256, 128, interpret,
+                num_nodes, (edge_axis,))
+            out = jax.lax.all_gather(out_local, edge_axis, axis=0,
+                                     tiled=True)
         else:
             h_src_flat = seg.gather_rows(h_flat, senders)     # (E, NH*F)
-        if edge_axis is None:
-            out = fsa.fused_segment_attention(
-                masked_logits, h_src_flat, receivers, drop_mask,
-                num_nodes, nh, f, eps, 256, 128, interpret)
-        else:
             num, denom = fsa.fused_segment_attention_partial(
                 masked_logits, h_src_flat, receivers, drop_mask,
                 num_nodes, nh, f, 256, 128, interpret, (edge_axis,))
@@ -277,12 +304,20 @@ def gat_layer_apply(params: Params,
             out = out + params["bias"]
         return out
 
-    # (3) segment softmax over in-neighbourhoods — reference :96-109
+    # (3) segment softmax over in-neighbourhoods — reference :96-109.
+    # dst_owned: neighbourhoods are shard-local (receivers re-based to the
+    # shard's row range), so the softmax needs no cross-shard completion
+    if edge_axis is not None and dst_owned:
+        _rows = num_nodes // jax.lax.axis_size(edge_axis)
+        recv_eff = receivers - jax.lax.axis_index(edge_axis) * _rows
+        n_eff, sm_axis = _rows, None
+    else:
+        recv_eff, n_eff, sm_axis = receivers, num_nodes, edge_axis
     alpha = seg.segment_softmax(
-        logits, receivers, num_nodes, edge_mask=edge_mask,
+        logits, recv_eff, n_eff, edge_mask=edge_mask,
         eps=0.0 if cfg.paper_faithful else 1e-8,
         subtract_segment_max=cfg.paper_faithful,
-        edge_axis=edge_axis)
+        edge_axis=sm_axis)
 
     # (4) attention dropout — reference :113-115
     alpha_drop = alpha
@@ -300,9 +335,12 @@ def gat_layer_apply(params: Params,
     #     — reference :119-127
     src_feats = seg.gather_rows(h, senders)                   # (E, NH, F)
     weighted = src_feats * alpha_drop[:, :, None]
-    out = seg.segment_sum(weighted, receivers, num_nodes)     # (N, NH, F)
+    out = seg.segment_sum(weighted, recv_eff, n_eff)          # (N, NH, F)
     if edge_axis is not None:
-        out = jax.lax.psum(out, edge_axis)
+        if dst_owned:
+            out = jax.lax.all_gather(out, edge_axis, axis=0, tiled=True)
+        else:
+            out = jax.lax.psum(out, edge_axis)
 
     # (6) head combine — reference :129-132
     if cfg.concat:
@@ -442,10 +480,12 @@ def gat_model_apply(params: Params,
                     training: bool = False,
                     return_attention: bool = False,
                     edge_axis: Optional[str] = None,
-                    backend: str = "auto"):
+                    backend: str = "auto",
+                    dst_owned: bool = False):
     """Full stack: [input dropout -> layer -> skip -> ELU(between)] xL.
     Reference: models/GATModel.py:120-151 (forward) and :153-187
-    (forward_and_return_attention — same path, attention captured)."""
+    (forward_and_return_attention — same path, attention captured).
+    dst_owned: boundary-free edge layout (see gat_layer_apply)."""
     layer_cfgs = cfg.layer_configs()
     skip_dims = cfg.skip_dims()
     heads = [1] + list(cfg.num_heads_per_layer)
@@ -467,8 +507,9 @@ def gat_model_apply(params: Params,
             graph.senders, graph.receivers, graph.edge_mask, graph.num_nodes,
             rng=rngs[2 * i + 1], training=training,
             return_attention=return_attention, edge_axis=edge_axis,
-            backend=backend,
-            src_order=None if edge_axis is not None else graph.src_order)
+            backend=backend, dst_owned=dst_owned,
+            src_order=graph.src_order
+            if (edge_axis is None or dst_owned) else None)
         if return_attention:
             x, alpha = out
             attention.append(alpha)
@@ -500,16 +541,23 @@ def gat_model_apply(params: Params,
 def calc_attention_norm(graph: Graph,
                         attention: Sequence[jax.Array],
                         *,
-                        edge_axis: Optional[str] = None) -> jax.Array:
+                        edge_axis: Optional[str] = None,
+                        dst_owned: bool = False) -> jax.Array:
     """Attention regulariser: mean over layers of ||alpha*deg - 1||_1 / E
     (reference models/GATModel.py:189-234). Only real edges contribute;
     E is the real edge count (reference divides by the full edge count —
     identical here since reference graphs have no padding)."""
     recv = graph.receivers
     emask = graph.edge_mask
-    degrees = seg.in_degree(recv, graph.num_nodes, edge_mask=emask)
-    if edge_axis is not None:
-        degrees = jax.lax.psum(degrees, edge_axis)
+    if edge_axis is not None and dst_owned:
+        # every dst's edges are shard-local: degrees complete locally
+        rows = graph.num_nodes // jax.lax.axis_size(edge_axis)
+        recv = recv - jax.lax.axis_index(edge_axis) * rows
+        degrees = seg.in_degree(recv, rows, edge_mask=emask)
+    else:
+        degrees = seg.in_degree(recv, graph.num_nodes, edge_mask=emask)
+        if edge_axis is not None:
+            degrees = jax.lax.psum(degrees, edge_axis)
     deg_per_edge = seg.gather_rows(degrees, recv)          # (E,)
     e_real = jnp.maximum(jnp.sum(emask.astype(jnp.float32)), 1.0)
     if edge_axis is not None:

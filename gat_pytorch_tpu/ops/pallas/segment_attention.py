@@ -258,6 +258,277 @@ def _forward(logits: jax.Array,       # (E, NH) post-LeakyReLU/cap; pad=-inf
     return out + (packed,) if return_packed else out
 
 
+# --------------------------------------------------------------------------
+# v4 split-input path: h_src arrives as its own edge-major HBM array and the
+# small metadata (logits | dropout | receivers) as a second one — 2 DMAs per
+# block instead of 1 (measured free, docs/PERF.md v2-vs-v3), killing the
+# single giant XLA transpose+concat+pad that dominated the composite at
+# scale (prep 8.28 ms vs 0.6 ms kernel at 1M edges).
+# --------------------------------------------------------------------------
+
+def _kernel_split(tile_off_ref,        # scalar prefetch: (T+1,) int32
+                  h_hbm,               # (NHF8, E_cols) edge-major features
+                  meta_hbm,            # (MR, E_cols): logits | drop | recv
+                  acc_ref,             # VMEM out (NHF8+NH8, NB) per tile
+                  hbuf, mbuf, sems,
+                  *, eb: int, nb: int, nh: int, f: int, nh8: int,
+                  nhf8: int, e_real: int, eps: float, with_dropout: bool,
+                  normalize: bool = True):
+    i = pl.program_id(0)
+    lo = (tile_off_ref[i] // eb) * eb
+    hi = tile_off_ref[i + 1]
+    nblocks = pl.cdiv(hi - lo, eb)
+
+    exp_rows = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 0)
+    exp_cols = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 1)
+    expander = ((exp_cols // f == exp_rows)
+                & (exp_rows < nh) & (exp_cols < nh * f)).astype(jnp.float32)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    nbuf = 2
+
+    def dma_h(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(h_hbm.at[:, pl.ds(start, eb)],
+                                     hbuf.at[slot], sems.at[slot, 0])
+
+    def dma_m(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
+                                     mbuf.at[slot], sems.at[slot, 1])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma_h(0, 0).start()
+        dma_m(0, 0).start()
+
+    def body(b, _):
+        slot = b % nbuf
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_h((b + 1) % nbuf, b + 1).start()
+            dma_m((b + 1) % nbuf, b + 1).start()
+
+        dma_h(slot, b).wait()
+        dma_m(slot, b).wait()
+
+        start = pl.multiple_of(lo + b * eb, eb)
+        h_t = hbuf[slot].astype(jnp.float32)                # (NHF8, EB)
+        meta = mbuf[slot]                                   # (MR, EB)
+        ex_t = jnp.exp(meta[0:nh8, :])                      # (NH8, EB)
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
+        ex_t = jnp.where(col < e_real, ex_t, 0.0)
+        recv_at = nh8 + (nh8 if with_dropout else 0)
+        recv_row = meta[recv_at:recv_at + 1, :]
+        rows = (i * nb
+                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                ).astype(jnp.float32)
+        onehot_t = (recv_row == rows).astype(jnp.float32)   # (NB, EB)
+
+        num_t = ex_t
+        if with_dropout:
+            num_t = num_t * meta[nh8:2 * nh8, :]
+        num_wide = jax.lax.dot_general(
+            expander, num_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHF8, EB)
+        weighted_t = h_t * num_wide
+        dt = _matmul_dtype()
+        combined = jnp.concatenate([weighted_t, ex_t], axis=0).astype(dt)
+        acc_ref[:] += jax.lax.dot_general(
+            combined, onehot_t.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (NHF8+NH8, NB)
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, body, 0)
+
+    if normalize:
+        d = acc_ref[nhf8:, :]
+        inv = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
+        inv_wide = jax.lax.dot_general(
+            expander, inv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:nhf8, :] = acc_ref[:nhf8, :] * inv_wide
+
+
+def pack_meta(logits: jax.Array,              # (E, NH) row-major
+              drop_mask: Optional[jax.Array],  # (E, NH) or None
+              receivers: jax.Array,            # (E,)
+              nh8: int, eb: int) -> jax.Array:
+    """(MR, E+eb) edge-major metadata: logits rows (NH8-padded), optional
+    dropout rows, receiver row (8-padded tail). Small arrays only — the
+    feature payload travels separately (h_src_t)."""
+    def align8(a_t):
+        r8 = _round_up(a_t.shape[0], 8)
+        if r8 == a_t.shape[0]:
+            return a_t
+        return jnp.pad(a_t, ((0, r8 - a_t.shape[0]), (0, 0)))
+
+    parts = [align8(logits.T)]
+    if drop_mask is not None:
+        parts.append(align8(drop_mask.T))
+    parts.append(receivers.astype(jnp.float32)[None, :])
+    meta = jnp.concatenate(parts, axis=0)
+    mr = nh8 * (2 if drop_mask is not None else 1) + 8
+    return jnp.pad(meta, ((0, mr - meta.shape[0]), (0, eb)))
+
+
+def gather_h_src_t(h_flat: jax.Array,         # (N, NH*F) node-major
+                   senders: jax.Array,        # (E,) int32
+                   nhf8: int, eb: int) -> jax.Array:
+    """(NHF8, E+eb) edge-major gathered source features — the kernel's
+    feature operand, produced by ONE XLA gather with no separate
+    pack/concat pass. GAT_TPU_GATHER picks the formulation:
+      lane (default): transpose the N-sized node table once, then gather
+                      columns (take axis=1) straight into edge-major;
+      row:            row-gather (take axis=0) then transpose the E-sized
+                      result (the round-1 layout, kept for A/B timing)."""
+    import os
+    nhf = h_flat.shape[1]
+    s = jnp.pad(senders, (0, eb))
+    if os.environ.get("GAT_TPU_GATHER", "lane") == "row":
+        g = jnp.take(h_flat, s, axis=0)                      # (E+eb, NHF)
+        return jnp.pad(g, ((0, 0), (0, nhf8 - nhf))).T
+    h_t8 = jnp.pad(h_flat.T, ((0, nhf8 - nhf), (0, 0)))      # (NHF8, N)
+    return jnp.take(h_t8, s, axis=1)
+
+
+def _forward_split(logits: jax.Array,         # (E, NH) post-activation
+                   h_src_t: jax.Array,        # (NHF8, E+eb) edge-major
+                   receivers: jax.Array,      # (E,) int32 dst-sorted
+                   drop_mask: Optional[jax.Array],
+                   num_nodes: int, nh: int, f: int,
+                   *, eps: float, eb: int, nb: int, interpret: bool,
+                   normalize: bool = True, vma: tuple = (),
+                   meta: Optional[jax.Array] = None):
+    e = logits.shape[0]
+    t = pl.cdiv(num_nodes, nb)
+    n_pad = t * nb
+    nh8 = _round_up(nh, 8)
+    nhf8 = _round_up(nh * f, 8)
+    with_dropout = drop_mask is not None
+    if meta is None:
+        meta = pack_meta(logits, drop_mask, receivers, nh8, eb)
+
+    bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
+    if vma:
+        bounds = jax.lax.pcast(bounds, tuple(vma), to="varying")
+    tile_off = jnp.searchsorted(receivers, bounds, side="left"
+                                ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # h_src_t
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # meta
+        ],
+        out_specs=pl.BlockSpec((nhf8 + nh8, nb), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, nhf8, eb), h_src_t.dtype),
+            pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_kernel_split, eb=eb, nb=nb, nh=nh, f=f,
+                               nh8=nh8, nhf8=nhf8, e_real=e, eps=eps,
+                               with_dropout=with_dropout,
+                               normalize=normalize)
+    sds_kw = {"vma": frozenset(vma)} if vma else {}
+    acc_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nhf8 + nh8, n_pad), jnp.float32,
+                                       **sds_kw),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * (e + eb) * nb * (nhf8 + nh8),
+            bytes_accessed=(e + eb) * (nhf8 + meta.shape[0]) * 4
+            + n_pad * (nhf8 + nh8) * 4,
+            transcendentals=(e + eb) * nh8),
+        interpret=interpret,
+    )(tile_off, h_src_t, meta)
+    return (acc_t[:nh * f].T[:num_nodes],
+            acc_t[nhf8:nhf8 + nh].T[:num_nodes],
+            meta)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
+def fused_segment_attention_table(logits, h_flat, senders, receivers,
+                                  drop_mask, src_order,
+                                  num_nodes: int, nh: int, f: int,
+                                  eps: float = 1e-8, eb: int = 256,
+                                  nb: int = 128, interpret: bool = False,
+                                  num_src_nodes: Optional[int] = None,
+                                  vma: tuple = ()):
+    """Fused segment attention straight from the NODE feature table: the
+    op owns the node->edge gather (gather_h_src_t — one XLA gather into
+    the kernel's edge-major layout, no transpose/concat/pad passes) and
+    the fused kernel. Replaces the reference's index_select+scatter_add
+    pipeline (models/gat_layer.py:96-127) end to end.
+
+    src_order: optional sender-sorting permutation; routes d(h_flat)
+    through the sorted Pallas segment-sum instead of an unsorted XLA
+    scatter (Graph.src_order).
+    num_src_nodes: row count of h_flat when it differs from num_nodes —
+    the dst-owner sharded layout runs the kernel over the LOCAL dst range
+    (num_nodes = N/K) while gathering from the replicated global table.
+    """
+    out, _, _ = _forward_split(
+        logits, gather_h_src_t(h_flat, senders, _round_up(nh * f, 8), eb),
+        receivers, drop_mask, num_nodes, nh, f,
+        eps=eps, eb=eb, nb=nb, interpret=interpret, vma=vma)
+    return out
+
+
+def _fsat_fwd(logits, h_flat, senders, receivers, drop_mask, src_order,
+              num_nodes, nh, f, eps, eb, nb, interpret, num_src_nodes,
+              vma):
+    nhf8 = _round_up(nh * f, 8)
+    h_src_t = gather_h_src_t(h_flat, senders, nhf8, eb)
+    out, denom, meta = _forward_split(
+        logits, h_src_t, receivers, drop_mask, num_nodes, nh, f,
+        eps=eps, eb=eb, nb=nb, interpret=interpret, vma=vma)
+    return out, (h_src_t, meta, senders, receivers, src_order, denom, out,
+                 drop_mask is not None)
+
+
+def _fsat_bwd(num_nodes, nh, f, eps, eb, nb, interpret, num_src_nodes,
+              vma, res, g):
+    from .segment_sum import segment_sum_pallas
+    from .segment_attention_bwd import backward_split
+    (h_src_t, meta, senders, receivers, src_order, denom, out,
+     with_dropout) = res
+    e = receivers.shape[0]
+    nh8 = _round_up(nh, 8)
+    nhf8 = _round_up(nh * f, 8)
+    n_src = num_src_nodes if num_src_nodes is not None else num_nodes
+    d_packed = backward_split(
+        h_src_t, meta, receivers, g, out, denom, num_nodes, nh, f,
+        eps=eps, eb=eb, nb=nb, with_dropout=with_dropout,
+        interpret=interpret, vma=vma)
+    d_logits = d_packed[nhf8:nhf8 + nh, :e].T
+    d_drop = (d_packed[nhf8 + nh8:nhf8 + nh8 + nh, :e].T
+              if with_dropout else None)
+    # d(h_flat): scatter the edge-major feature cotangent back to nodes.
+    # With src_order the scatter is a sorted segment reduction on the MXU
+    # (gather.py rationale); without, an XLA unsorted scatter-add.
+    g_rows = d_packed[:nhf8, :e].T                          # (E, NHF8)
+    if src_order is not None:
+        g_sorted = jnp.take(g_rows, src_order, axis=0)
+        ids_sorted = jnp.take(senders, src_order, axis=0)
+        d_table = segment_sum_pallas(g_sorted, ids_sorted, n_src,
+                                     interpret=interpret, vma=vma)
+    else:
+        d_table = jnp.zeros((n_src, nhf8), jnp.float32
+                            ).at[senders].add(g_rows)
+    return d_logits, d_table[:, :nh * f], None, None, d_drop, None
+
+
+fused_segment_attention_table.defvjp(_fsat_fwd, _fsat_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def fused_segment_attention(logits, h_src, receivers, drop_mask,
                             num_nodes: int, nh: int, f: int,

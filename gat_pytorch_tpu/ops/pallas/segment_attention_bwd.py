@@ -159,6 +159,209 @@ def _kernel(tile_off_ref,
     jax.lax.fori_loop(0, nblocks, body, 0)
 
 
+def _kernel_split(tile_off_ref,
+                  h_hbm,          # (NHF8, E_cols) edge-major features
+                  meta_hbm,       # (MR, E_cols): logits | drop | recv
+                  zeros_hbm,      # (KO, E_cols) zero-init, aliased out
+                  g_t, out_t, denom_t,
+                  dout_hbm,
+                  hbuf, mbuf, dbuf, rbuf, sems, wsems, rsem,
+                  *, eb: int, nb: int, nh: int, f: int, nh8: int,
+                  nhf8: int, ko: int, e_real: int, eps: float,
+                  with_dropout: bool, normalize: bool):
+    """backward_packed's math over the v4 SPLIT inputs (h array + meta
+    array, matching segment_attention._forward_split)."""
+    i = pl.program_id(0)
+    lo = (tile_off_ref[i] // eb) * eb
+    hi = tile_off_ref[i + 1]
+    nblocks = pl.cdiv(hi - lo, eb)
+
+    exp_rows = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 0)
+    exp_cols = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 1)
+    expander = ((exp_cols // f == exp_rows)
+                & (exp_rows < nh) & (exp_cols < nh * f)).astype(jnp.float32)
+
+    d = denom_t[:]
+    if normalize:
+        inv_d = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
+        outg_h = jax.lax.dot_general(
+            expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_den = -outg_h * inv_d
+    else:
+        inv_d = jnp.ones_like(d)
+        d_den = d
+
+    def dma_h(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(h_hbm.at[:, pl.ds(start, eb)],
+                                     hbuf.at[slot], sems.at[slot, 0])
+
+    def dma_m(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
+                                     mbuf.at[slot], sems.at[slot, 1])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma_h(0, 0).start()
+        dma_m(0, 0).start()
+
+    def body(b, _):
+        slot = b % 2
+        wslot = b % 2
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_h((b + 1) % 2, b + 1).start()
+            dma_m((b + 1) % 2, b + 1).start()
+
+        dma_h(slot, b).wait()
+        dma_m(slot, b).wait()
+        start = pl.multiple_of(lo + b * eb, eb)
+
+        h_t = hbuf[slot].astype(jnp.float32)                # (NHF8, EB)
+        meta = mbuf[slot]
+        ex_t = jnp.exp(meta[0:nh8, :])
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
+        ex_t = jnp.where(col < e_real, ex_t, 0.0)
+        recv_at = nh8 + (nh8 if with_dropout else 0)
+        recv_row = meta[recv_at:recv_at + 1, :]
+        rows = (i * nb
+                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                ).astype(jnp.float32)
+        onehot_t = (recv_row == rows).astype(jnp.float32)
+
+        payload = jnp.concatenate([g_t[:], inv_d, d_den], axis=0)
+        payload_e = jax.lax.dot_general(
+            payload, onehot_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g_e = payload_e[0:nhf8, :]
+        invd_e = payload_e[nhf8:nhf8 + nh8, :]
+        dden_e = payload_e[nhf8 + nh8:nhf8 + 2 * nh8, :]
+
+        m = meta[nh8:2 * nh8, :] if with_dropout else None
+
+        coef = ex_t * invd_e if m is None else ex_t * m * invd_e
+        coef_wide = jax.lax.dot_general(
+            expander, coef, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_h = coef_wide * g_e
+
+        hdotg = jax.lax.dot_general(
+            expander, h_t * g_e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_ex = hdotg * invd_e
+        if m is not None:
+            d_ex = d_ex * m
+        d_logits = ex_t * (d_ex + dden_e)
+
+        parts = [d_h, d_logits]
+        if with_dropout:
+            parts.append(hdotg * ex_t * invd_e)
+        dblk = jnp.concatenate(parts, axis=0)
+        dblk = jnp.pad(dblk, ((0, ko - dblk.shape[0]), (0, 0)))
+
+        @pl.when(b == 0)
+        def _():
+            rd = pltpu.make_async_copy(dout_hbm.at[:, pl.ds(start, eb)],
+                                       rbuf, rsem)
+            rd.start()
+            rd.wait()
+            dbuf[wslot] = dblk + rbuf[:]
+
+        @pl.when(b > 0)
+        def _():
+            dbuf[wslot] = dblk
+
+        wr = pltpu.make_async_copy(dbuf.at[wslot],
+                                   dout_hbm.at[:, pl.ds(start, eb)],
+                                   wsems.at[wslot])
+        wr.start()
+        wr.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, body, 0)
+
+
+def backward_split(h_src_t: jax.Array,        # (NHF8, E+EB) edge-major
+                   meta: jax.Array,           # (MR, E+EB) logits|drop|recv
+                   receivers: jax.Array,      # (E,) int32 dst-sorted
+                   g: jax.Array,              # (N, NH*F) upstream cotangent
+                   out: jax.Array,            # (N, NH*F) forward output
+                   denom: jax.Array,          # (N, NH) forward denominators
+                   num_nodes: int, nh: int, f: int,
+                   *, eps: float, eb: int, nb: int,
+                   with_dropout: bool, interpret: bool,
+                   normalize: bool = True, vma: tuple = ()):
+    """Split-input twin of backward_packed: returns d_packed (KO, E+EB)
+    with rows [d_h (NHF8) | d_logits (NH8) (| d_drop NH8)] edge-major."""
+    e = receivers.shape[0]
+    t = pl.cdiv(num_nodes, nb)
+    n_pad = t * nb
+    nh8 = _round_up(nh, 8)
+    nhf8 = _round_up(nh * f, 8)
+    ko = nhf8 + nh8 + (nh8 if with_dropout else 0)
+
+    def node_t(a, rows):
+        a_t = a.T
+        return jnp.pad(a_t, ((0, rows - a_t.shape[0]),
+                             (0, n_pad - a_t.shape[1])))
+
+    g_t = node_t(g, nhf8)
+    out_t = node_t(out, nhf8)
+    denom_t = node_t(denom, nh8)
+
+    bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
+    tile_off = jnp.searchsorted(receivers, bounds, side="left"
+                                ).astype(jnp.int32)
+    zeros = jnp.zeros((ko, h_src_t.shape[1]), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # h_src_t
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # meta
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # zeros
+            pl.BlockSpec((nhf8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # g_t
+            pl.BlockSpec((nhf8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # out_t
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # denom_t
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, nhf8, eb), h_src_t.dtype),
+            pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),
+            pltpu.VMEM((2, ko, eb), jnp.float32),
+            pltpu.VMEM((ko, eb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_split, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
+        ko=ko, e_real=e, eps=eps, with_dropout=with_dropout,
+        normalize=normalize)
+    sds_kw = {"vma": frozenset(vma)} if vma else {}
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ko, h_src_t.shape[1]), jnp.float32,
+                                       **sds_kw),
+        input_output_aliases={3: 0},   # zeros -> output (after prefetch)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * (e + eb) * nb * (nhf8 + nh8),
+            bytes_accessed=(e + eb) * (nhf8 + meta.shape[0] + 2 * ko) * 4
+            + n_pad * (2 * nhf8 + nh8) * 4,
+            transcendentals=(e + eb) * nh8),
+        interpret=interpret,
+    )(tile_off, h_src_t, meta, zeros, g_t, out_t, denom_t)
+
+
 def backward_packed(packed: jax.Array,        # (R, E+EB) from forward
                     receivers: jax.Array,     # (E,) int32 dst-sorted
                     g: jax.Array,             # (N, NH*F) upstream cotangent

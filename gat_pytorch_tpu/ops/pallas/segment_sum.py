@@ -73,8 +73,10 @@ def segment_sum_pallas(values: jax.Array,       # (E, D) f32
                        *,
                        eb: int = 1024,
                        nb: int = 128,
-                       interpret: bool = False) -> jax.Array:
-    """Sorted segment sum on the MXU; returns (num_segments, D)."""
+                       interpret: bool = False,
+                       vma: tuple = ()) -> jax.Array:
+    """Sorted segment sum on the MXU; returns (num_segments, D).
+    vma: mesh axes this call varies over (shard_map check_vma)."""
     e, d = values.shape
     d8 = _round_up(d, 8)
     t = pl.cdiv(num_segments, nb)
@@ -105,10 +107,11 @@ def segment_sum_pallas(values: jax.Array,       # (E, D) f32
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    sds_kw = {"vma": frozenset(vma)} if vma else {}
     acc = pl.pallas_call(
         functools.partial(_kernel, eb=eb, nb=nb, d8=d8),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((d8, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d8, n_pad), jnp.float32, **sds_kw),
         cost_estimate=pl.CostEstimate(
             flops=2 * (e + eb) * nb * d8,
             bytes_accessed=(e + eb) * (d8 + 8) * 4 + n_pad * d8 * 4,

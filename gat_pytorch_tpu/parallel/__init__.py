@@ -7,6 +7,7 @@ segment reductions, and a GSPMD auto-sharding path.
 """
 
 from .mesh import DATA_AXIS, EDGE_AXIS, make_mesh
+from .partition import partition_edges_by_dst
 from .sharding import batch_specs, put_batch, replicated, stack_graphs
 from .train import make_sharded_eval_step, make_sharded_train_step
 
@@ -14,4 +15,5 @@ __all__ = [
     "DATA_AXIS", "EDGE_AXIS", "make_mesh",
     "batch_specs", "put_batch", "replicated", "stack_graphs",
     "make_sharded_eval_step", "make_sharded_train_step",
+    "partition_edges_by_dst",
 ]

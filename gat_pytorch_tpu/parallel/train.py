@@ -38,26 +38,38 @@ def _global_batch_size(mesh: Mesh, local_b: int) -> int:
 
 
 def make_sharded_train_step(cfg: gat.GATConfig, task: Task, tx,
-                            mesh: Mesh, jit: bool = True) -> Callable:
+                            mesh: Mesh, jit: bool = True,
+                            dst_owned: bool = False) -> Callable:
     """Train step over a stacked GraphBatch (leading dim B divisible by
     the mesh's data-axis size). `jit=False` returns the raw function for
     embedding in a larger compiled program (Trainer.fit_sharded scans a
-    whole epoch of batch groups around it)."""
+    whole epoch of batch groups around it). `dst_owned=True` expects
+    batches prepared by partition.partition_edges_by_dst and runs the
+    boundary-free layout (one all_gather/layer instead of psums)."""
     need_attention = task.attention_coef != 0.0
 
     def per_graph_loss(params, graph: Graph, rng):
         out = gat.gat_model_apply(params, cfg, graph, rng=rng, training=True,
                                   return_attention=need_attention,
-                                  edge_axis=EDGE_AXIS)
+                                  edge_axis=EDGE_AXIS, dst_owned=dst_owned)
         if need_attention:
             logits, attention = out
             norm = gat.calc_attention_norm(graph, attention,
-                                           edge_axis=EDGE_AXIS)
+                                           edge_axis=EDGE_AXIS,
+                                           dst_owned=dst_owned)
         else:
             logits, norm = out, jnp.float32(0.0)
         logits = _squeeze(logits, task)
         base = task.loss(logits, graph, "train")
         total = base + task.attention_coef * norm
+        if dst_owned:
+            # check_vma=False AD semantics: a replicated loss seeds a
+            # cotangent on EVERY edge shard, so paths crossing the
+            # between-layer all_gathers accumulate x K while fully-
+            # replicated paths (e.g. skip weights) do not. Scaling the
+            # local loss by 1/K and psumming grads afterwards corrects
+            # both uniformly (pinned by test_parallel_dst_owned).
+            total = total / jax.lax.axis_size(EDGE_AXIS)
         mets = {k: v for k, v in task.metrics(logits, graph, "train").items()
                 if k != "loss"}
         return total, (norm, mets)
@@ -82,12 +94,17 @@ def make_sharded_train_step(cfg: gat.GATConfig, task: Task, tx,
         b_global = _global_batch_size(mesh, batch.x.shape[0])
         loss, norm, mets, grads = local_value_and_grad(
             params, batch, rng, b_global)
-        # Complete the data-mean for the scalars. Gradients need NO manual
-        # reduction: params enter shard_map replicated (in_spec P()), so
-        # under check_vma=True the implicit pvary at the invariant->varying
-        # boundary transposes to a psum over BOTH mesh axes — grads leave
-        # value_and_grad already fully reduced; psumming again would
-        # multiply them by the axis size.
+        # Complete the data-mean for the scalars. With check_vma=True
+        # (cut-neighbourhood layout) gradients need NO manual reduction:
+        # params enter shard_map replicated (in_spec P()), so the
+        # invariant->varying transpose psums the cotangent over BOTH mesh
+        # axes — grads leave value_and_grad already fully reduced.
+        # dst_owned (check_vma=False): grads are per-shard 1/K-scaled
+        # mixtures (see per_graph_loss) completed by one psum over edge;
+        # the reported loss un-scales the same way.
+        if dst_owned:
+            grads = jax.lax.psum(grads, EDGE_AXIS)
+            loss = jax.lax.psum(loss, EDGE_AXIS)
         loss = jax.lax.psum(loss, DATA_AXIS)
         norm = jax.lax.psum(norm, DATA_AXIS)
         mets = {k: jax.lax.psum(jnp.sum(v) / b_global, DATA_AXIS)
@@ -100,7 +117,7 @@ def make_sharded_train_step(cfg: gat.GATConfig, task: Task, tx,
         loss, norm, mets, grads = jax.shard_map(
             sharded_body, mesh=mesh,
             in_specs=(P(), specs, P()), out_specs=P(),
-            check_vma=True)(state.params, batch, sub)
+            check_vma=not dst_owned)(state.params, batch, sub)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u,
                                         state.params, updates)
@@ -113,11 +130,13 @@ def make_sharded_train_step(cfg: gat.GATConfig, task: Task, tx,
 
 
 def make_sharded_eval_step(cfg: gat.GATConfig, task: Task, mesh: Mesh,
-                           phase: str, jit: bool = True) -> Callable:
+                           phase: str, jit: bool = True,
+                           dst_owned: bool = False) -> Callable:
 
     def per_graph_metrics(params, graph: Graph):
         logits = gat.gat_model_apply(params, cfg, graph, training=False,
-                                     edge_axis=EDGE_AXIS)
+                                     edge_axis=EDGE_AXIS,
+                                     dst_owned=dst_owned)
         return task.metrics(_squeeze(logits, task), graph, phase)
 
     def sharded_body(params, batch: Graph):

@@ -1,0 +1,265 @@
+"""Destination-owner edge partitioning (parallel/partition.py): the
+boundary-free distributed layout must compute the SAME function as the
+unsharded model while moving ~3x fewer collective bytes than the
+cut-neighbourhood psum layout (VERDICT r1 next-round item 4)."""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gat_pytorch_tpu import parallel
+from gat_pytorch_tpu.graph import transforms as T
+from gat_pytorch_tpu.models import gat
+from gat_pytorch_tpu.parallel.partition import partition_edges_by_dst
+from gat_pytorch_tpu.train import optim as O
+from gat_pytorch_tpu.train.tasks import make_task
+from gat_pytorch_tpu.train.trainer import TrainState
+
+
+def tiny_cfg(dropout=0.0, paper_faithful=False):
+    return gat.GATConfig(
+        num_input_node_features=12, num_layers=2,
+        num_heads_per_layer=[2, 2], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[12, 8, 4], num_classes=4,
+        add_skip_connection=[False, True], dropout=dropout,
+        paper_faithful=paper_faithful)
+
+
+def make_graph(seed=0, num_nodes=24, num_feats=12, num_classes=4,
+               node_bucket=32, edge_bucket=128):
+    rng = np.random.default_rng(seed)
+    senders = np.repeat(np.arange(num_nodes), 3)
+    receivers = rng.integers(0, num_nodes, num_nodes * 3)
+    x = rng.normal(size=(num_nodes, num_feats)).astype(np.float32)
+    y = (rng.random((num_nodes, num_classes)) > 0.5).astype(np.float32)
+    return T.canonicalize(x, senders, receivers, y=y,
+                          node_bucket=node_bucket, edge_bucket=edge_bucket,
+                          pad_multiple=32)
+
+
+def test_partitioner_invariants():
+    g = make_graph(seed=1)
+    k = 4
+    g2, eps = partition_edges_by_dst(g, k, pad_multiple=32)
+    assert g2.num_edges == k * eps
+    rows = g2.num_nodes // k
+    s2, r2 = np.asarray(g2.senders), np.asarray(g2.receivers)
+    m2 = np.asarray(g2.edge_mask)
+    # every real edge survives exactly once
+    orig = sorted(zip(np.asarray(g.senders)[np.asarray(g.edge_mask)],
+                      np.asarray(g.receivers)[np.asarray(g.edge_mask)]))
+    got = sorted(zip(s2[m2], r2[m2]))
+    assert orig == got
+    for j in range(k):
+        sl = slice(j * eps, (j + 1) * eps)
+        rj, mj, sj = r2[sl], m2[sl], s2[sl]
+        # shard j's real edges target exactly its dst range, dst-sorted
+        assert ((rj[mj] // rows) == j).all()
+        assert (np.diff(rj) >= 0).all()
+        # per-shard src_order sorts local senders ascending
+        oj = np.asarray(g2.src_order)[sl]
+        assert (np.diff(sj[oj]) >= 0).all()
+
+
+def _specs_for(g):
+    from jax.sharding import PartitionSpec as P
+    espec, nspec = P("edge"), P()
+    gspecs = g.replace(x=nspec, senders=espec, receivers=espec,
+                       edge_mask=espec, node_mask=nspec, y=nspec,
+                       graph_ids=nspec, src_order=espec)
+    return jax.tree_util.tree_map(
+        lambda s: s, gspecs, is_leaf=lambda s: isinstance(s, P))
+
+
+@pytest.mark.parametrize("paper_faithful", [False, True])
+def test_dst_owned_forward_matches_unsharded(paper_faithful):
+    from jax.sharding import PartitionSpec as P
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    cfg = tiny_cfg(paper_faithful=paper_faithful)
+    g = make_graph(seed=2)
+    g2, _ = partition_edges_by_dst(g, k, pad_multiple=32)
+    params = gat.init_gat_model(jax.random.key(0), cfg)
+
+    want = gat.gat_model_apply(params, cfg, g, training=False)
+
+    def body(p, graph):
+        return gat.gat_model_apply(p, cfg, graph, training=False,
+                                   edge_axis="edge", dst_owned=True,
+                                   backend="xla")
+
+    # check_vma=False: the between-layer all_gather's output has no
+    # invariant vma typing (parallel/train.py rationale)
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), _specs_for(g2)), out_specs=P(),
+        check_vma=False))(params, g2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dst_owned_grads_match_unsharded():
+    from jax.sharding import PartitionSpec as P
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    cfg = tiny_cfg()
+    g = make_graph(seed=3)
+    g2, _ = partition_edges_by_dst(g, k, pad_multiple=32)
+    params = gat.init_gat_model(jax.random.key(1), cfg)
+
+    def loss_of(p, graph, ea, do):
+        out = gat.gat_model_apply(p, cfg, graph, training=False,
+                                  edge_axis=ea, dst_owned=do,
+                                  backend="xla")
+        return jnp.mean(out ** 2)
+
+    want = jax.grad(loss_of)(params, g, None, False)
+
+    def body(p, graph):
+        # check_vma=False AD: the replicated loss seeds a cotangent on
+        # every shard, so all_gather-crossing paths accumulate x K while
+        # fully-replicated paths don't; scale the local loss by 1/K and
+        # psum the grads to correct both uniformly (parallel/train.py)
+        def scaled(p):
+            return loss_of(p, graph, "edge", True) / jax.lax.axis_size(
+                "edge")
+        return jax.lax.psum(jax.grad(scaled)(p), "edge")
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), _specs_for(g2)), out_specs=P(),
+        check_vma=False))(params, g2)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got),
+            jax.tree_util.tree_leaves_with_path(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_dst_owned_pallas_forward_interpret():
+    """Fused table kernel under the dst_owned layout (interpret mode,
+    check_vma=False — kernel jaxprs are inlined, CLAUDE.md)."""
+    from jax.sharding import PartitionSpec as P
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    cfg = tiny_cfg()
+    g = make_graph(seed=4)
+    g2, _ = partition_edges_by_dst(g, k, pad_multiple=32)
+    params = gat.init_gat_model(jax.random.key(2), cfg)
+    want = gat.gat_model_apply(params, cfg, g, training=False)
+
+    def body(p, graph):
+        return gat.gat_model_apply(p, cfg, graph, training=False,
+                                   edge_axis="edge", dst_owned=True,
+                                   backend="pallas")
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), _specs_for(g2)), out_specs=P(),
+        check_vma=False))(params, g2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def _collective_bytes(hlo_text: str) -> int:
+    """Total output bytes of all-reduce / all-gather / reduce-scatter /
+    all-to-all ops in a compiled HLO dump. HLO line shape:
+        %name = f32[d,d]{layout} all-gather(...)        (single result)
+        %name = (f32[a]{...}, f32[b]{...}) all-reduce(...)  (tuple)"""
+    total = 0
+    for ln in hlo_text.splitlines():
+        m = re.search(r"= (.*?) (?:all-reduce|all-gather|reduce-scatter|"
+                      r"all-to-all)\(", ln)
+        if not m:
+            continue
+        for tm in re.finditer(r"[fsu]\d+\[([\d,]*)\]", m.group(1)):
+            size = 1
+            for d in tm.group(1).split(","):
+                if d:
+                    size *= int(d)
+            total += 4 * size
+    return total
+
+
+def test_dst_owned_reduces_collective_bytes():
+    """The point of the layout: compiled HLO for the dst_owned train step
+    must move materially fewer collective bytes than the cut-
+    neighbourhood psum layout on the same workload."""
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    # large enough that node-array collectives dominate the fixed
+    # per-step scalar/param-grad reductions (identical in both layouts)
+    cfg = gat.GATConfig(
+        num_input_node_features=32, num_layers=2,
+        num_heads_per_layer=[4, 4], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[32, 32, 16], num_classes=16,
+        add_skip_connection=[False, False], dropout=0.0)
+    task = make_task("PPI")
+    tx = O.adam_l2(1e-2)
+    params = gat.init_gat_model(jax.random.key(0), cfg)
+
+    def lower(dst_owned, batch):
+        step = parallel.make_sharded_train_step(cfg, task, tx, mesh,
+                                                dst_owned=dst_owned)
+        state = TrainState(params=params, opt_state=tx.init(params),
+                           rng=jax.random.key(0), step=jnp.int32(0))
+        lowered = jax.jit(step).lower(parallel.replicated(state, mesh),
+                                      parallel.put_batch(batch, mesh))
+        return lowered.compile().as_text()
+
+    g = make_graph(seed=5, num_nodes=504, node_bucket=512,
+                   edge_bucket=4096, num_feats=32, num_classes=16)
+    cut = parallel.stack_graphs([g])
+    g2, _ = partition_edges_by_dst(g, k, pad_multiple=128)
+    own = parallel.stack_graphs([g2])
+
+    bytes_cut = _collective_bytes(lower(False, cut))
+    bytes_own = _collective_bytes(lower(True, own))
+    # the layout's point: materially fewer collective bytes (theory ~3x;
+    # assert a conservative >1.67x to stay robust to XLA fusion changes)
+    assert bytes_own < 0.6 * bytes_cut, (bytes_own, bytes_cut)
+
+
+def test_dst_owned_train_step_matches_unsharded():
+    """Full sharded train step (loss + grads + update) under dst_owned ==
+    the unsharded train step."""
+    import optax
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    cfg = tiny_cfg()
+    task = make_task("PPI", attention_penalty=0.05)
+    tx = optax.sgd(1e-1)
+    params = gat.init_gat_model(jax.random.key(3), cfg)
+    rng = jax.random.key(4)
+
+    g = make_graph(seed=6)
+    g2, _ = partition_edges_by_dst(g, k, pad_multiple=32)
+    batch = parallel.stack_graphs([g2])
+
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       rng=rng, step=jnp.int32(0))
+    step = parallel.make_sharded_train_step(cfg, task, tx, mesh,
+                                            dst_owned=True)
+    state_s, mets = step(parallel.replicated(state, mesh),
+                         parallel.put_batch(batch, mesh))
+
+    _, sub = jax.random.split(rng)
+
+    def loss_fn(p):
+        key = jax.random.fold_in(sub, 0)
+        logits, att = gat.gat_model_apply(p, cfg, g, rng=key,
+                                          training=True,
+                                          return_attention=True)
+        norm = gat.calc_attention_norm(g, att)
+        return task.loss(logits, g, "train") + task.attention_coef * norm
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(mets["train_loss"]), float(loss_ref),
+                               rtol=1e-5)
+    updates, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(state_s.params),
+                    jax.tree_util.tree_leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
