@@ -34,8 +34,8 @@ def _round_up(n: int, m: int) -> int:
 
 
 def partition_edges_by_dst(graph: Graph, k: int,
-                           pad_multiple: int = 256
-                           ) -> Tuple[Graph, int]:
+                           pad_multiple: int = 256,
+                           eps: int = None) -> Tuple[Graph, int]:
     """Reorder + pad a canonicalised Graph's edge arrays for k dst-owner
     shards. Returns (graph2, edges_per_shard); graph2.num_edges ==
     k * edges_per_shard and slicing [j*eps, (j+1)*eps) yields shard j's
@@ -58,7 +58,11 @@ def partition_edges_by_dst(graph: Graph, k: int,
     owner = recv // rows
 
     counts = np.bincount(owner, minlength=k)
-    eps = _round_up(max(int(counts.max()), 1), pad_multiple)
+    if eps is None:
+        eps = _round_up(max(int(counts.max()), 1), pad_multiple)
+    elif int(counts.max()) > eps:
+        raise ValueError(f"per-shard bucket {eps} < max shard edge count "
+                         f"{int(counts.max())}")
 
     # padding senders = N-1 so each shard's sender-sorted id stream stays
     # ascending with the padding at the tail (sorted-scatter backward)
@@ -96,3 +100,20 @@ def partition_edges_by_dst(graph: Graph, k: int,
         else np.asarray(graph.graph_ids),
         src_order=out_order)
     return g2, eps
+
+
+def partition_batches(graphs, k: int, pad_multiple: int = 256,
+                      eps: int = None):
+    """Partition a list of same-bucket Graphs with ONE shared per-shard
+    edge bucket (so they can be stacked along a batch axis for the
+    sharded trainer). Returns (partitioned list, eps); pass the returned
+    eps back on later epochs so reshuffled batches keep one static shape
+    (one compilation)."""
+    if eps is not None:
+        return [partition_edges_by_dst(g, k, pad_multiple, eps=eps)[0]
+                for g in graphs], eps
+    parts = [partition_edges_by_dst(g, k, pad_multiple) for g in graphs]
+    eps = max(e for _, e in parts)
+    return [g if e == eps
+            else partition_edges_by_dst(g0, k, pad_multiple, eps=eps)[0]
+            for (g, e), g0 in zip(parts, graphs)], eps

@@ -520,8 +520,8 @@ class Trainer:
                     train_data: Sequence[Graph],
                     val_data: Sequence[Graph],
                     reshuffle: Optional[Callable[[int],
-                                                 Sequence[Graph]]] = None
-                    ) -> TrainResult:
+                                                 Sequence[Graph]]] = None,
+                    dst_owned: bool = False) -> TrainResult:
         """First-class fit() over a (data, edge) device mesh: consecutive
         same-bucket batches are stacked `data`-axis-wide, and the whole
         epoch of batch groups is lax.scan'd through the SPMD shard_map
@@ -538,7 +538,15 @@ class Trainer:
 
         dp = mesh.shape[DATA_AXIS]
 
+        part_eps = [None]  # sticky bucket: one static shape across epochs
+
         def group(batches):
+            if dst_owned:
+                from ..parallel.partition import partition_batches
+                from ..parallel.mesh import EDGE_AXIS
+                batches, part_eps[0] = partition_batches(
+                    list(batches), mesh.shape[EDGE_AXIS],
+                    eps=part_eps[0])
             out = []
             for i in range(0, len(batches), dp):
                 chunk = list(batches[i:i + dp])
@@ -550,9 +558,9 @@ class Trainer:
         tx = O.adam_l2(self.learning_rate, self.weight_decay)
         state = replicated(self.init_state(tx), mesh)
         step_fn = make_sharded_train_step(self.cfg, self.task, tx, mesh,
-                                          jit=False)
+                                          jit=False, dst_owned=dst_owned)
         val_fn = make_sharded_eval_step(self.cfg, self.task, mesh, "val",
-                                        jit=False)
+                                        jit=False, dst_owned=dst_owned)
 
         @jax.jit
         def train_epoch(state, groups):

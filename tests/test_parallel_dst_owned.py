@@ -221,6 +221,22 @@ def test_dst_owned_reduces_collective_bytes():
     assert bytes_own < 0.6 * bytes_cut, (bytes_own, bytes_cut)
 
 
+def test_fit_sharded_dst_owned_end_to_end():
+    """Trainer.fit_sharded(dst_owned=True): partitions batches, trains,
+    loss decreases — the boundary-free layout as a one-flag option."""
+    from gat_pytorch_tpu.train.trainer import Trainer
+    mesh = parallel.make_mesh(data=2, edge=4)
+    cfg = tiny_cfg()
+    graphs = [jax.tree_util.tree_map(lambda v: v, make_graph(seed=i))
+              for i in range(6)]
+    tr = Trainer(cfg=cfg, task=make_task("PPI"), learning_rate=1e-2,
+                 max_epochs=4, patience=100, seed=0)
+    res = tr.fit_sharded(mesh, graphs[:4], graphs[4:], dst_owned=True)
+    assert len(res.history) == 4
+    assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
+    assert np.isfinite(res.best_val_loss)
+
+
 def test_dst_owned_train_step_matches_unsharded():
     """Full sharded train step (loss + grads + update) under dst_owned ==
     the unsharded train step."""
