@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default=None,
                    choices=["auto", "xla", "pallas"],
                    help="segment-attention compute backend")
+    p.add_argument("--layer_type", default=None,
+                   choices=["custom", "naive"],
+                   help="layer implementation: 'naive' is the runtime "
+                        "oracle (the reference's PyG-GATConv layer_type "
+                        "switch, run_config.py:4-6)")
     p.add_argument("--sampling_fanouts", default=None,
                    help="neighbor-sampled minibatch training, e.g. '10,10'"
                         " (transductive datasets)")
@@ -70,7 +75,9 @@ def run(config) -> dict:
     task = make_task(name, attention_reward=config.attention_reward,
                      attention_penalty=config.attention_penalty)
     synth = config.synthetic
-    if config.backend and config.backend != "auto":
+    if config.layer_type == "naive":
+        os.environ["GAT_TPU_BACKEND"] = "naive"
+    elif config.backend and config.backend != "auto":
         # _resolve_backend consults this env override (models/gat.py)
         os.environ["GAT_TPU_BACKEND"] = config.backend
 

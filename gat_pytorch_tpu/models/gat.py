@@ -45,7 +45,9 @@ Params = Dict[str, Any]
 #   "auto"   — fused Pallas kernel on TPU, XLA segment ops elsewhere
 #   "xla"    — always XLA segment ops
 #   "pallas" — always the fused kernel (interpret mode off-TPU; tests)
-_VALID_BACKENDS = ("auto", "xla", "pallas")
+#   "naive"  — models/naive.py runtime oracle (the reference's
+#              layer_type=PyG-GATConv A/B switch, run_config.py:4-6)
+_VALID_BACKENDS = ("auto", "xla", "pallas", "naive")
 
 
 def _resolve_backend(backend: str) -> str:
@@ -159,6 +161,16 @@ def gat_layer_apply(params: Params,
     partition_edges_by_dst (receivers stay GLOBAL ids; src_order holds
     per-shard LOCAL permutations).
     """
+    if _resolve_backend(backend) == "naive":
+        if edge_axis is not None:
+            raise ValueError("backend='naive' is the single-device "
+                             "runtime oracle; no edge sharding")
+        from .naive import gat_layer_naive
+        return gat_layer_naive(params, cfg, x, senders, receivers,
+                               edge_mask, num_nodes, rng=rng,
+                               training=training,
+                               return_attention=return_attention)
+
     nh, f = cfg.num_heads, cfg.out_features
     E = senders.shape[0]
 

@@ -382,8 +382,14 @@ def gather_h_src_t(h_flat: jax.Array,         # (N, NH*F) node-major
       lane (default): transpose the N-sized node table once, then gather
                       columns (take axis=1) straight into edge-major;
       row:            row-gather (take axis=0) then transpose the E-sized
-                      result (the round-1 layout, kept for A/B timing)."""
+                      result (the round-1 layout, kept for A/B timing).
+    GAT_TPU_H_DTYPE=bfloat16 casts the table BEFORE the gather — halves
+    the dominant per-edge feature traffic; accumulation stays f32 in the
+    kernel (preferred_element_type)."""
     import os
+    if (os.environ.get("GAT_TPU_H_DTYPE") == "bfloat16"
+            and h_flat.dtype == jnp.float32):
+        h_flat = h_flat.astype(jnp.bfloat16)
     nhf = h_flat.shape[1]
     s = jnp.pad(senders, (0, eb))
     if os.environ.get("GAT_TPU_GATHER", "lane") == "row":

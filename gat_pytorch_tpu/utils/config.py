@@ -45,6 +45,10 @@ class RunConfig:
     tensorboard_dir: Optional[str] = None
     track_grads: bool = False             # reference GATModel.py:36
     backend: str = "auto"                 # auto | xla | pallas (hot path)
+    # reference run_config.py:4-6 layer_type (PyG GATConv = its runtime
+    # oracle); "naive" selects models/naive.py, our independent A/B
+    # implementation
+    layer_type: str = "custom"            # custom | naive
     # neighbor-sampled minibatching (transductive only); e.g. "10,10"
     sampling_fanouts: Optional[str] = None
     sampling_batch_size: int = 128

@@ -205,3 +205,31 @@ def test_gatconfig_validation_messages():
     bad = dict(good, head_output_features_per_layer=[9, 4, 3])
     with _pytest.raises(ValueError, match="num_input_node_features"):
         GATConfig(**bad).validate()
+
+
+def test_naive_runtime_oracle_matches_custom():
+    """backend='naive' (models/naive.py — the runtime A/B oracle, the
+    reference's layer_type=GATConv switch) must match the optimised
+    implementation on the full model, both quirk modes."""
+    import numpy as np
+    from gat_pytorch_tpu.graph import transforms as T
+
+    rng = np.random.default_rng(40)
+    n = 80
+    senders = np.repeat(np.arange(n), 4)
+    receivers = rng.integers(0, n, n * 4)
+    x = rng.normal(size=(n, 10)).astype(np.float32)
+    graph = T.canonicalize(x, senders, receivers)
+    for pf in (False, True):
+        cfg = gat.GATConfig(
+            num_input_node_features=10, num_layers=2,
+            num_heads_per_layer=[2, 1],
+            heads_concat_per_layer=[True, False],
+            head_output_features_per_layer=[10, 8, 3], num_classes=3,
+            add_skip_connection=[False, True], dropout=0.0,
+            paper_faithful=pf)
+        params = gat.init_gat_model(jax.random.key(7), cfg)
+        out_c = gat.gat_model_apply(params, cfg, graph, backend="xla")
+        out_n = gat.gat_model_apply(params, cfg, graph, backend="naive")
+        np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_c),
+                                   rtol=1e-5, atol=1e-5)
