@@ -25,6 +25,9 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None)
     p.add_argument("--data_axis", type=int, default=2)
     p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--layout", default="cut", choices=["cut", "dst_owned"],
+                   help="dst_owned = boundary-free partition (one "
+                        "all_gather/layer; parallel/partition.py)")
     args = p.parse_args(argv)
 
     if args.devices:
@@ -66,7 +69,8 @@ def main(argv=None) -> int:
     trainer = Trainer(cfg=cfg, task=make_task("PPI"), learning_rate=5e-3,
                       max_epochs=args.epochs, log_every=1)
     result = trainer.fit_sharded(mesh, batcher.epoch(0), val_batches,
-                                 reshuffle=batcher.epoch)
+                                 reshuffle=batcher.epoch,
+                                 dst_owned=args.layout == "dst_owned")
     print(f"best val loss {result.best_val_loss:.4f} "
           f"@ epoch {result.best_epoch}, "
           f"{result.wall_time_s:.1f}s")

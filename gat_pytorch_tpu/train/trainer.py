@@ -544,9 +544,23 @@ class Trainer:
             if dst_owned:
                 from ..parallel.partition import partition_batches
                 from ..parallel.mesh import EDGE_AXIS
-                batches, part_eps[0] = partition_batches(
-                    list(batches), mesh.shape[EDGE_AXIS],
-                    eps=part_eps[0])
+                k_edge = mesh.shape[EDGE_AXIS]
+                try:
+                    batches, eps = partition_batches(
+                        list(batches), k_edge, eps=part_eps[0])
+                except ValueError:
+                    # a reshuffled epoch exceeded the sticky bucket:
+                    # regrow with headroom (one recompile, then sticky)
+                    batches, eps = partition_batches(list(batches), k_edge)
+                    eps = ((int(eps * 1.25) + 255) // 256) * 256
+                    batches, eps = partition_batches(list(batches),
+                                                     k_edge, eps=eps)
+                if part_eps[0] is None:
+                    # first epoch: 25% headroom against later reshuffles
+                    eps = ((int(eps * 1.25) + 255) // 256) * 256
+                    batches, eps = partition_batches(list(batches),
+                                                     k_edge, eps=eps)
+                part_eps[0] = eps
             out = []
             for i in range(0, len(batches), dp):
                 chunk = list(batches[i:i + dp])
