@@ -392,11 +392,17 @@ def gather_h_src_t(h_flat: jax.Array,         # (N, NH*F) node-major
         h_flat = h_flat.astype(jnp.bfloat16)
     nhf = h_flat.shape[1]
     s = jnp.pad(senders, (0, eb))
-    if os.environ.get("GAT_TPU_GATHER", "lane") == "row":
-        g = jnp.take(h_flat, s, axis=0)                      # (E+eb, NHF)
+    mode = os.environ.get("GAT_TPU_GATHER", "lane")
+    # canonicalised senders are always in-bounds; the default jnp.take
+    # mode (FILL_OR_DROP) adds out-of-bounds predication to the gather.
+    # "_pib" switches to mode="wrap" — one tiny int mod pass, then
+    # GatherScatterMode.PROMISE_IN_BOUNDS underneath.
+    kw = {"mode": "wrap"} if mode.endswith("_pib") else {}
+    if mode.startswith("row"):
+        g = jnp.take(h_flat, s, axis=0, **kw)                # (E+eb, NHF)
         return jnp.pad(g, ((0, 0), (0, nhf8 - nhf))).T
     h_t8 = jnp.pad(h_flat.T, ((0, nhf8 - nhf), (0, 0)))      # (NHF8, N)
-    return jnp.take(h_t8, s, axis=1)
+    return jnp.take(h_t8, s, axis=1, **kw)
 
 
 def _forward_split(logits: jax.Array,         # (E, NH) post-activation
