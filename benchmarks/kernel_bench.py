@@ -64,56 +64,65 @@ def run_case(num_nodes, num_edges, nh, f, backend, grad, iters=5,
     order = np.argsort(send, kind="stable").astype(np.int32)
     logits = rng.normal(size=(e_pad, nh)).astype(np.float32)
     logits[num_edges:] = fsa.NEG_INF
-    h_tab = rng.normal(size=(num_nodes, nh * f)).astype(np.float32)
-    h_src = h_tab[send]
 
+    # All big arrays are passed as jit ARGUMENTS — closing over device
+    # arrays embeds them as constants in the uploaded HLO (the tunneled
+    # compiler rejects >~100MB bodies with HTTP 413, and constant-space
+    # placement distorts the timing).
     logits_d = jax.device_put(jnp.asarray(logits))
-    h_tab_d = jax.device_put(jnp.asarray(h_tab).astype(h_dtype))
-    h_src_d = jax.device_put(jnp.asarray(h_src).astype(h_dtype))
+    h_tab = rng.normal(size=(num_nodes, nh * f)).astype(np.float32)
+    from_table = backend in ("table", "xla_t")
+    hmat_d = jax.device_put(jnp.asarray(
+        h_tab if from_table else h_tab[send]).astype(h_dtype))
+    del h_tab
     recv_d = jax.device_put(jnp.asarray(recv))
     send_d = jax.device_put(jnp.asarray(send))
     order_d = jax.device_put(jnp.asarray(order))
 
-    def op(lg):
+    def op(lg, hmat, recv_a, send_a, order_a):
         if backend == "pallas":
             out = fsa.fused_segment_attention(
-                lg, h_src_d.astype(jnp.float32), recv_d, None,
+                lg, hmat.astype(jnp.float32), recv_a, None,
                 num_nodes, nh, f, 1e-8, eb, nb, interp)
         elif backend == "table":
             out = fsa.fused_segment_attention_table(
-                lg, h_tab_d, send_d, recv_d, None, order_d,
+                lg, hmat, send_a, recv_a, None, order_a,
                 num_nodes, nh, f, 1e-8, eb, nb, interp)
         elif backend == "xla_t":
-            hs = jnp.take(h_tab_d, send_d, axis=0).astype(jnp.float32)
+            hs = jnp.take(hmat, send_a, axis=0).astype(jnp.float32)
             out = fsa.reference_segment_attention(
-                lg, hs, recv_d, None, num_nodes, nh, f)
+                lg, hs, recv_a, None, num_nodes, nh, f)
         else:
             out = fsa.reference_segment_attention(
-                lg, h_src_d.astype(jnp.float32), recv_d, None,
+                lg, hmat.astype(jnp.float32), recv_a, None,
                 num_nodes, nh, f)
         return jnp.sum(out)
 
     if grad:
-        base = jax.grad(op)
-        reduce_out = lambda g: jnp.sum(g)          # noqa: E731
+        base = jax.grad(op, argnums=(0, 1))
+        reduce_out = lambda g: jnp.sum(g[0]) + jnp.sum(g[1])  # noqa: E731
     else:
         base = op
-        reduce_out = lambda v: v                   # noqa: E731
+        reduce_out = lambda v: v                              # noqa: E731
 
-    def scanned(lg):
+    def scanned(lg, hmat, recv_a, send_a, order_a):
         def body(acc, _):
-            v = reduce_out(base(lg * (1.0 + acc * 1e-30)))
-            return v * 1e-30, v
+            # perturb the FEATURE operand so the gather/pack is loop-
+            # carried (a hoisted gather would amortise to ~0 and lie)
+            scale = (1.0 + acc * 1e-30).astype(hmat.dtype)
+            v = reduce_out(base(lg, hmat * scale, recv_a, send_a,
+                                order_a))
+            return v.astype(jnp.float32) * 1e-30, v
         acc, vs = jax.lax.scan(body, jnp.float32(0.0), None,
                                length=scan_len)
         return vs[-1]
 
     fn = jax.jit(scanned)
-    out = fn(logits_d)
+    out = fn(logits_d, hmat_d, recv_d, send_d, order_d)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(logits_d)
+        out = fn(logits_d, hmat_d, recv_d, send_d, order_d)
     # force host transfer (tunneled-backend sync, see bench.py)
     float(np.asarray(out))
     dt = (time.perf_counter() - t0) / (iters * scan_len)

@@ -398,10 +398,18 @@ def gather_h_src_t(h_flat: jax.Array,         # (N, NH*F) node-major
     # "_pib" switches to mode="wrap" — one tiny int mod pass, then
     # GatherScatterMode.PROMISE_IN_BOUNDS underneath.
     kw = {"mode": "wrap"} if mode.endswith("_pib") else {}
+    # GAT_TPU_GATHER_BARRIER=1 materialises the transposed table before
+    # the take — stops XLA fusing the transpose INTO the gather (which
+    # turns clean row reads into strided column reads)
+    barrier = os.environ.get("GAT_TPU_GATHER_BARRIER") == "1"
     if mode.startswith("row"):
         g = jnp.take(h_flat, s, axis=0, **kw)                # (E+eb, NHF)
+        if barrier:
+            g = jax.lax.optimization_barrier(g)
         return jnp.pad(g, ((0, 0), (0, nhf8 - nhf))).T
     h_t8 = jnp.pad(h_flat.T, ((0, nhf8 - nhf), (0, 0)))      # (NHF8, N)
+    if barrier:
+        h_t8 = jax.lax.optimization_barrier(h_t8)
     return jnp.take(h_t8, s, axis=1, **kw)
 
 

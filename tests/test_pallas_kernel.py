@@ -149,6 +149,92 @@ def test_full_model_backend_parity_and_grads():
                                    rtol=1e-4, atol=1e-5)
 
 
+def _table_inputs(num_nodes, num_edges, nh, f, seed=0):
+    rng = np.random.default_rng(seed)
+    recv = np.sort(rng.integers(0, num_nodes, num_edges)).astype(np.int32)
+    logits = rng.normal(size=(num_edges, nh)).astype(np.float32)
+    h = rng.normal(size=(num_nodes, nh * f)).astype(np.float32)
+    senders = rng.integers(0, num_nodes, num_edges).astype(np.int32)
+    order = np.argsort(senders, kind="stable").astype(np.int32)
+    return (jnp.asarray(logits), jnp.asarray(h), jnp.asarray(senders),
+            jnp.asarray(recv), jnp.asarray(order))
+
+
+@pytest.mark.parametrize("gather_mode", ["lane", "row", "lane_pib"])
+def test_table_op_matches_oracle(gather_mode, monkeypatch):
+    """v4 table op (op-owned gather, split edge-major inputs) forward +
+    grads vs the XLA oracle, across the gather formulations."""
+    monkeypatch.setenv("GAT_TPU_GATHER", gather_mode)
+    monkeypatch.setenv("GAT_TPU_GATHER_BARRIER", "1")
+    num_nodes, num_edges, nh, f = 256, 1500, 2, 8
+    lg, h, snd, rcv, order = _table_inputs(num_nodes, num_edges, nh, f)
+
+    def loss_t(lg, h):
+        out = fsa.fused_segment_attention_table(
+            lg, h, snd, rcv, None, order, num_nodes, nh, f,
+            1e-8, 256, 128, True)
+        return jnp.sum(jnp.sin(out)), out
+
+    def loss_r(lg, h):
+        out = fsa.reference_segment_attention(
+            lg, jnp.take(h, snd, axis=0), rcv, None, num_nodes, nh, f)
+        return jnp.sum(jnp.sin(out)), out
+
+    (_, ot), gt = jax.value_and_grad(loss_t, argnums=(0, 1),
+                                     has_aux=True)(lg, h)
+    (_, orr), gr = jax.value_and_grad(loss_r, argnums=(0, 1),
+                                      has_aux=True)(lg, h)
+    np.testing.assert_allclose(np.asarray(ot), np.asarray(orr),
+                               rtol=1e-5, atol=1e-5)
+    for a, b, name in zip(gt, gr, ("logits", "h")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_table_op_dropout_and_no_src_order():
+    """Dropout mask grads + the unsorted-scatter d(h) fallback
+    (src_order=None)."""
+    num_nodes, num_edges, nh, f = 128, 700, 2, 8
+    lg, h, snd, rcv, _ = _table_inputs(num_nodes, num_edges, nh, f, seed=3)
+    keep = (np.random.default_rng(5).random((num_edges, nh)) > 0.4)
+    drop = jnp.asarray(keep.astype(np.float32) / 0.6)
+
+    def loss_t(lg, h, d):
+        return jnp.sum(fsa.fused_segment_attention_table(
+            lg, h, snd, rcv, d, None, num_nodes, nh, f,
+            1e-8, 256, 128, True) ** 2)
+
+    def loss_r(lg, h, d):
+        return jnp.sum(fsa.reference_segment_attention(
+            lg, jnp.take(h, snd, axis=0), rcv, d, num_nodes, nh, f) ** 2)
+
+    gt = jax.grad(loss_t, argnums=(0, 1, 2))(lg, h, drop)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(lg, h, drop)
+    for a, b in zip(gt, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-5)
+
+
+def test_table_op_bf16_close(monkeypatch):
+    """bf16 feature table: forward within bf16 tolerance, f32 grads."""
+    monkeypatch.setenv("GAT_TPU_H_DTYPE", "bfloat16")
+    num_nodes, num_edges, nh, f = 256, 1500, 2, 8
+    lg, h, snd, rcv, order = _table_inputs(num_nodes, num_edges, nh, f,
+                                           seed=7)
+    got = fsa.fused_segment_attention_table(
+        lg, h, snd, rcv, None, order, num_nodes, nh, f, 1e-8, 256, 128,
+        True)
+    want = fsa.reference_segment_attention(
+        lg, jnp.take(h, snd, axis=0), rcv, None, num_nodes, nh, f)
+    rel = float(jnp.max(jnp.abs(got - want))
+                / jnp.max(jnp.abs(want)))
+    assert rel < 0.02, rel
+    g = jax.grad(lambda hh: jnp.sum(fsa.fused_segment_attention_table(
+        lg, hh, snd, rcv, None, order, num_nodes, nh, f, 1e-8, 256, 128,
+        True) ** 2))(h)
+    assert g.dtype == jnp.float32 and bool(jnp.isfinite(g).all())
+
+
 def test_partial_kernel_matches_full():
     num_nodes, num_edges, nh, f = 256, 1500, 2, 8
     logits, h_src, recv = make_edges(num_nodes, num_edges, nh, f, seed=9)
