@@ -210,10 +210,11 @@ def gat_layer_apply(params: Params,
             s_dst = jnp.einsum("nhf,hf->nh", h, a_r)
         else:
             a_src, a_dst = _split_attention_map(params["a"], nh, f)
-            s_src = jnp.dot(h_flat, a_src,
-                            preferred_element_type=jnp.float32)
-            s_dst = jnp.dot(h_flat, a_dst,
-                            preferred_element_type=jnp.float32)
+            # one MXU call for both score maps (the concat is parameter-
+            # derived — loop-invariant, hoisted out of scanned training)
+            s_both = jnp.dot(h_flat, jnp.concatenate([a_src, a_dst], 1),
+                             preferred_element_type=jnp.float32)
+            s_src, s_dst = s_both[:, :nh], s_both[:, nh:]
         logits = (seg.gather_rows(s_src, senders)
                   + seg.gather_rows(s_dst, receivers))        # (E, NH)
         if not cfg.paper_faithful:
@@ -285,7 +286,7 @@ def gat_layer_apply(params: Params,
             # routes d(h) through the sorted segment-sum via src_order
             out = fsa.fused_segment_attention_table(
                 masked_logits, h_flat, senders, receivers, drop_mask,
-                src_order, num_nodes, nh, f, eps, 256, 128, interpret)
+                src_order, num_nodes, nh, f, eps, 1024, 256, interpret)
         elif dst_owned:
             # boundary-free layout: full (normalised) kernel over the
             # LOCAL dst rows, gathering from the replicated table; one
@@ -294,7 +295,7 @@ def gat_layer_apply(params: Params,
             recv_local = receivers - jax.lax.axis_index(edge_axis) * rows
             out_local = fsa.fused_segment_attention_table(
                 masked_logits, h_flat, senders, recv_local, drop_mask,
-                src_order, rows, nh, f, eps, 256, 128, interpret,
+                src_order, rows, nh, f, eps, 1024, 256, interpret,
                 num_nodes, (edge_axis,))
             out = jax.lax.all_gather(out_local, edge_axis, axis=0,
                                      tiled=True)

@@ -267,13 +267,15 @@ def _forward(logits: jax.Array,       # (E, NH) post-LeakyReLU/cap; pad=-inf
 # --------------------------------------------------------------------------
 
 def _kernel_split(tile_off_ref,        # scalar prefetch: (T+1,) int32
-                  h_hbm,               # (NHF8, E_cols) edge-major features
+                  h_hbm,               # features: (NHF8, E_cols) edge-major
+                  #                      or (E_cols, NHF8) row-major when
+                  #                      h_rowmajor (transposed in-kernel)
                   meta_hbm,            # (MR, E_cols): logits | drop | recv
                   acc_ref,             # VMEM out (NHF8+NH8, NB) per tile
                   hbuf, mbuf, sems,
                   *, eb: int, nb: int, nh: int, f: int, nh8: int,
                   nhf8: int, e_real: int, eps: float, with_dropout: bool,
-                  normalize: bool = True):
+                  normalize: bool = True, h_rowmajor: bool = False):
     i = pl.program_id(0)
     lo = (tile_off_ref[i] // eb) * eb
     hi = tile_off_ref[i + 1]
@@ -289,6 +291,9 @@ def _kernel_split(tile_off_ref,        # scalar prefetch: (T+1,) int32
 
     def dma_h(slot, b):
         start = pl.multiple_of(lo + b * eb, eb)
+        if h_rowmajor:
+            return pltpu.make_async_copy(h_hbm.at[pl.ds(start, eb), :],
+                                         hbuf.at[slot], sems.at[slot, 0])
         return pltpu.make_async_copy(h_hbm.at[:, pl.ds(start, eb)],
                                      hbuf.at[slot], sems.at[slot, 0])
 
@@ -314,7 +319,13 @@ def _kernel_split(tile_off_ref,        # scalar prefetch: (T+1,) int32
         dma_m(slot, b).wait()
 
         start = pl.multiple_of(lo + b * eb, eb)
-        h_t = hbuf[slot].astype(jnp.float32)                # (NHF8, EB)
+        if h_rowmajor:
+            # XLA's row gather delivers (EB, NHF8); transpose on-chip —
+            # a lane-axis gather from a transposed table lowers to
+            # 1-lane column slices (measured ~100x slower, PERF.md r2)
+            h_t = hbuf[slot].T.astype(jnp.float32)          # (NHF8, EB)
+        else:
+            h_t = hbuf[slot].astype(jnp.float32)            # (NHF8, EB)
         meta = mbuf[slot]                                   # (MR, EB)
         ex_t = jnp.exp(meta[0:nh8, :])                      # (NH8, EB)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
@@ -375,14 +386,23 @@ def pack_meta(logits: jax.Array,              # (E, NH) row-major
 
 def gather_h_src_t(h_flat: jax.Array,         # (N, NH*F) node-major
                    senders: jax.Array,        # (E,) int32
-                   nhf8: int, eb: int) -> jax.Array:
-    """(NHF8, E+eb) edge-major gathered source features — the kernel's
-    feature operand, produced by ONE XLA gather with no separate
-    pack/concat pass. GAT_TPU_GATHER picks the formulation:
-      lane (default): transpose the N-sized node table once, then gather
-                      columns (take axis=1) straight into edge-major;
-      row:            row-gather (take axis=0) then transpose the E-sized
-                      result (the round-1 layout, kept for A/B timing).
+                   nhf8: int, eb: int):
+    """Gathered source features for the kernel, via ONE XLA gather with
+    no separate pack/concat pass. Returns (array, rowmajor: bool).
+    GAT_TPU_GATHER picks the formulation:
+      rowk (default): row-gather only -> (E+eb, NHF8) ROW-major; the
+                      kernel transposes each block on-chip (XLA row
+                      gather is its fast case — full-row slices);
+      row:            row-gather + XLA transpose -> edge-major (the
+                      round-1 layout, kept for A/B timing);
+      lane:           gather columns of the transposed table -> edge-
+                      major directly. Measured ~100x SLOWER on TPU (XLA
+                      lowers it to 1-lane column slices); kept only as
+                      the documented dead end.
+    Suffix "_pib" uses mode="wrap" (PROMISE_IN_BOUNDS underneath) —
+    canonicalised senders are always in-bounds, the default FILL_OR_DROP
+    adds out-of-bounds predication. GAT_TPU_GATHER_BARRIER=1 puts an
+    optimization barrier between table prep and the take.
     GAT_TPU_H_DTYPE=bfloat16 casts the table BEFORE the gather — halves
     the dominant per-edge feature traffic; accumulation stays f32 in the
     kernel (preferred_element_type)."""
@@ -392,35 +412,36 @@ def gather_h_src_t(h_flat: jax.Array,         # (N, NH*F) node-major
         h_flat = h_flat.astype(jnp.bfloat16)
     nhf = h_flat.shape[1]
     s = jnp.pad(senders, (0, eb))
-    mode = os.environ.get("GAT_TPU_GATHER", "lane")
-    # canonicalised senders are always in-bounds; the default jnp.take
-    # mode (FILL_OR_DROP) adds out-of-bounds predication to the gather.
-    # "_pib" switches to mode="wrap" — one tiny int mod pass, then
-    # GatherScatterMode.PROMISE_IN_BOUNDS underneath.
+    mode = os.environ.get("GAT_TPU_GATHER", "rowk")
     kw = {"mode": "wrap"} if mode.endswith("_pib") else {}
-    # GAT_TPU_GATHER_BARRIER=1 materialises the transposed table before
-    # the take — stops XLA fusing the transpose INTO the gather (which
-    # turns clean row reads into strided column reads)
     barrier = os.environ.get("GAT_TPU_GATHER_BARRIER") == "1"
+    if mode.startswith("rowk"):
+        h8 = h_flat if nhf == nhf8 else jnp.pad(
+            h_flat, ((0, 0), (0, nhf8 - nhf)))               # N-sized pad
+        if barrier:
+            h8 = jax.lax.optimization_barrier(h8)
+        return jnp.take(h8, s, axis=0, **kw), True           # (E+eb, NHF8)
     if mode.startswith("row"):
         g = jnp.take(h_flat, s, axis=0, **kw)                # (E+eb, NHF)
         if barrier:
             g = jax.lax.optimization_barrier(g)
-        return jnp.pad(g, ((0, 0), (0, nhf8 - nhf))).T
+        return jnp.pad(g, ((0, 0), (0, nhf8 - nhf))).T, False
     h_t8 = jnp.pad(h_flat.T, ((0, nhf8 - nhf), (0, 0)))      # (NHF8, N)
     if barrier:
         h_t8 = jax.lax.optimization_barrier(h_t8)
-    return jnp.take(h_t8, s, axis=1, **kw)
+    return jnp.take(h_t8, s, axis=1, **kw), False
 
 
 def _forward_split(logits: jax.Array,         # (E, NH) post-activation
-                   h_src_t: jax.Array,        # (NHF8, E+eb) edge-major
+                   h_src_t: jax.Array,        # (NHF8, E+eb) edge-major or
+                   #                            (E+eb, NHF8) row-major
                    receivers: jax.Array,      # (E,) int32 dst-sorted
                    drop_mask: Optional[jax.Array],
                    num_nodes: int, nh: int, f: int,
                    *, eps: float, eb: int, nb: int, interpret: bool,
                    normalize: bool = True, vma: tuple = (),
-                   meta: Optional[jax.Array] = None):
+                   meta: Optional[jax.Array] = None,
+                   h_rowmajor: bool = False):
     e = logits.shape[0]
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
@@ -446,7 +467,8 @@ def _forward_split(logits: jax.Array,         # (E, NH) post-activation
         out_specs=pl.BlockSpec((nhf8 + nh8, nb), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, nhf8, eb), h_src_t.dtype),
+            pltpu.VMEM((2, eb, nhf8) if h_rowmajor else (2, nhf8, eb),
+                       h_src_t.dtype),
             pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
@@ -454,7 +476,7 @@ def _forward_split(logits: jax.Array,         # (E, NH) post-activation
     kernel = functools.partial(_kernel_split, eb=eb, nb=nb, nh=nh, f=f,
                                nh8=nh8, nhf8=nhf8, e_real=e, eps=eps,
                                with_dropout=with_dropout,
-                               normalize=normalize)
+                               normalize=normalize, h_rowmajor=h_rowmajor)
     sds_kw = {"vma": frozenset(vma)} if vma else {}
     acc_t = pl.pallas_call(
         kernel,
@@ -495,10 +517,12 @@ def fused_segment_attention_table(logits, h_flat, senders, receivers,
     the dst-owner sharded layout runs the kernel over the LOCAL dst range
     (num_nodes = N/K) while gathering from the replicated global table.
     """
+    h_src, rowmajor = gather_h_src_t(h_flat, senders,
+                                     _round_up(nh * f, 8), eb)
     out, _, _ = _forward_split(
-        logits, gather_h_src_t(h_flat, senders, _round_up(nh * f, 8), eb),
-        receivers, drop_mask, num_nodes, nh, f,
-        eps=eps, eb=eb, nb=nb, interpret=interpret, vma=vma)
+        logits, h_src, receivers, drop_mask, num_nodes, nh, f,
+        eps=eps, eb=eb, nb=nb, interpret=interpret, vma=vma,
+        h_rowmajor=rowmajor)
     return out
 
 
@@ -506,35 +530,37 @@ def _fsat_fwd(logits, h_flat, senders, receivers, drop_mask, src_order,
               num_nodes, nh, f, eps, eb, nb, interpret, num_src_nodes,
               vma):
     nhf8 = _round_up(nh * f, 8)
-    h_src_t = gather_h_src_t(h_flat, senders, nhf8, eb)
+    h_src, rowmajor = gather_h_src_t(h_flat, senders, nhf8, eb)
     out, denom, meta = _forward_split(
-        logits, h_src_t, receivers, drop_mask, num_nodes, nh, f,
-        eps=eps, eb=eb, nb=nb, interpret=interpret, vma=vma)
-    return out, (h_src_t, meta, senders, receivers, src_order, denom, out,
-                 drop_mask is not None)
+        logits, h_src, receivers, drop_mask, num_nodes, nh, f,
+        eps=eps, eb=eb, nb=nb, interpret=interpret, vma=vma,
+        h_rowmajor=rowmajor)
+    return out, (h_src, meta, senders, receivers, src_order, denom, out,
+                 drop_mask is not None, rowmajor)
 
 
 def _fsat_bwd(num_nodes, nh, f, eps, eb, nb, interpret, num_src_nodes,
               vma, res, g):
     from .segment_sum import segment_sum_pallas
     from .segment_attention_bwd import backward_split
-    (h_src_t, meta, senders, receivers, src_order, denom, out,
-     with_dropout) = res
+    (h_src, meta, senders, receivers, src_order, denom, out,
+     with_dropout, rowmajor) = res
     e = receivers.shape[0]
     nh8 = _round_up(nh, 8)
     nhf8 = _round_up(nh * f, 8)
     n_src = num_src_nodes if num_src_nodes is not None else num_nodes
-    d_packed = backward_split(
-        h_src_t, meta, receivers, g, out, denom, num_nodes, nh, f,
+    d_h, d_meta = backward_split(
+        h_src, meta, receivers, g, out, denom, num_nodes, nh, f,
         eps=eps, eb=eb, nb=nb, with_dropout=with_dropout,
-        interpret=interpret, vma=vma)
-    d_logits = d_packed[nhf8:nhf8 + nh, :e].T
-    d_drop = (d_packed[nhf8 + nh8:nhf8 + nh8 + nh, :e].T
-              if with_dropout else None)
-    # d(h_flat): scatter the edge-major feature cotangent back to nodes.
-    # With src_order the scatter is a sorted segment reduction on the MXU
-    # (gather.py rationale); without, an XLA unsorted scatter-add.
-    g_rows = d_packed[:nhf8, :e].T                          # (E, NHF8)
+        interpret=interpret, vma=vma, h_rowmajor=rowmajor)
+    d_logits = d_meta[0:nh, :e].T
+    d_drop = d_meta[nh8:nh8 + nh, :e].T if with_dropout else None
+    # d(h_flat): scatter the feature cotangent back to nodes. Row-major
+    # d_h feeds the sorted reduction DIRECTLY (no E-sized transpose —
+    # the round-1 backward paid one here); edge-major (lane/row modes)
+    # still transposes first. With src_order the scatter is the sorted
+    # Pallas segment sum; without, an XLA unsorted scatter-add.
+    g_rows = d_h[:e, :] if rowmajor else d_h[:nhf8, :e].T   # (E, NHF8)
     if src_order is not None:
         g_sorted = jnp.take(g_rows, src_order, axis=0)
         ids_sorted = jnp.take(senders, src_order, axis=0)

@@ -160,17 +160,23 @@ def _kernel(tile_off_ref,
 
 
 def _kernel_split(tile_off_ref,
-                  h_hbm,          # (NHF8, E_cols) edge-major features
+                  h_hbm,          # features: (NHF8, E_cols) edge-major or
+                  #                 (E_cols, NHF8) row-major (h_rowmajor)
                   meta_hbm,       # (MR, E_cols): logits | drop | recv
-                  zeros_hbm,      # (KO, E_cols) zero-init, aliased out
+                  zeros_h_hbm,    # zero-init, aliased -> dh_hbm
+                  zeros_m_hbm,    # zero-init, aliased -> dmeta_hbm
                   g_t, out_t, denom_t,
-                  dout_hbm,
-                  hbuf, mbuf, dbuf, rbuf, sems, wsems, rsem,
+                  dh_hbm, dmeta_hbm,
+                  hbuf, mbuf, dhbuf, dmbuf, rhbuf, rmbuf,
+                  sems, wsems, rsems,
                   *, eb: int, nb: int, nh: int, f: int, nh8: int,
-                  nhf8: int, ko: int, e_real: int, eps: float,
-                  with_dropout: bool, normalize: bool):
-    """backward_packed's math over the v4 SPLIT inputs (h array + meta
-    array, matching segment_attention._forward_split)."""
+                  nhf8: int, km: int, e_real: int, eps: float,
+                  with_dropout: bool, normalize: bool,
+                  h_rowmajor: bool):
+    """backward_packed's math over the v4 SPLIT inputs. Emits TWO
+    outputs: d_h in the SAME layout as the h input (row-major needs no
+    XLA transpose afterwards — it feeds the sorted scatter directly) and
+    d_meta (KM, E_cols) edge-major with rows [d_logits | d_drop]."""
     i = pl.program_id(0)
     lo = (tile_off_ref[i] // eb) * eb
     hi = tile_off_ref[i + 1]
@@ -194,6 +200,9 @@ def _kernel_split(tile_off_ref,
 
     def dma_h(slot, b):
         start = pl.multiple_of(lo + b * eb, eb)
+        if h_rowmajor:
+            return pltpu.make_async_copy(h_hbm.at[pl.ds(start, eb), :],
+                                         hbuf.at[slot], sems.at[slot, 0])
         return pltpu.make_async_copy(h_hbm.at[:, pl.ds(start, eb)],
                                      hbuf.at[slot], sems.at[slot, 0])
 
@@ -201,6 +210,11 @@ def _kernel_split(tile_off_ref,
         start = pl.multiple_of(lo + b * eb, eb)
         return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
                                      mbuf.at[slot], sems.at[slot, 1])
+
+    def dh_slice(start):
+        if h_rowmajor:
+            return dh_hbm.at[pl.ds(start, eb), :]
+        return dh_hbm.at[:, pl.ds(start, eb)]
 
     @pl.when(nblocks > 0)
     def _():
@@ -220,7 +234,10 @@ def _kernel_split(tile_off_ref,
         dma_m(slot, b).wait()
         start = pl.multiple_of(lo + b * eb, eb)
 
-        h_t = hbuf[slot].astype(jnp.float32)                # (NHF8, EB)
+        if h_rowmajor:
+            h_t = hbuf[slot].T.astype(jnp.float32)          # (NHF8, EB)
+        else:
+            h_t = hbuf[slot].astype(jnp.float32)
         meta = mbuf[slot]
         ex_t = jnp.exp(meta[0:nh8, :])
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
@@ -246,7 +263,7 @@ def _kernel_split(tile_off_ref,
         coef_wide = jax.lax.dot_general(
             expander, coef, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        d_h = coef_wide * g_e
+        d_h = coef_wide * g_e                               # (NHF8, EB)
 
         hdotg = jax.lax.dot_general(
             expander, h_t * g_e, (((1,), (0,)), ((), ())),
@@ -256,35 +273,49 @@ def _kernel_split(tile_off_ref,
             d_ex = d_ex * m
         d_logits = ex_t * (d_ex + dden_e)
 
-        parts = [d_h, d_logits]
+        mparts = [d_logits]
         if with_dropout:
-            parts.append(hdotg * ex_t * invd_e)
-        dblk = jnp.concatenate(parts, axis=0)
-        dblk = jnp.pad(dblk, ((0, ko - dblk.shape[0]), (0, 0)))
+            mparts.append(hdotg * ex_t * invd_e)
+        dmblk = jnp.concatenate(mparts, axis=0)
+        dmblk = jnp.pad(dmblk, ((0, km - dmblk.shape[0]), (0, 0)))
+        dhblk = d_h.T if h_rowmajor else d_h
 
+        # first (aligned-down) block may contain the previous tile's
+        # edges: accumulate against what is already there
         @pl.when(b == 0)
         def _():
-            rd = pltpu.make_async_copy(dout_hbm.at[:, pl.ds(start, eb)],
-                                       rbuf, rsem)
-            rd.start()
-            rd.wait()
-            dbuf[wslot] = dblk + rbuf[:]
+            rh = pltpu.make_async_copy(dh_slice(start), rhbuf,
+                                       rsems.at[0])
+            rm = pltpu.make_async_copy(dmeta_hbm.at[:, pl.ds(start, eb)],
+                                       rmbuf, rsems.at[1])
+            rh.start()
+            rm.start()
+            rh.wait()
+            rm.wait()
+            dhbuf[wslot] = dhblk + rhbuf[:]
+            dmbuf[wslot] = dmblk + rmbuf[:]
 
         @pl.when(b > 0)
         def _():
-            dbuf[wslot] = dblk
+            dhbuf[wslot] = dhblk
+            dmbuf[wslot] = dmblk
 
-        wr = pltpu.make_async_copy(dbuf.at[wslot],
-                                   dout_hbm.at[:, pl.ds(start, eb)],
-                                   wsems.at[wslot])
-        wr.start()
-        wr.wait()
+        wh = pltpu.make_async_copy(dhbuf.at[wslot], dh_slice(start),
+                                   wsems.at[wslot, 0])
+        wm = pltpu.make_async_copy(dmbuf.at[wslot],
+                                   dmeta_hbm.at[:, pl.ds(start, eb)],
+                                   wsems.at[wslot, 1])
+        wh.start()
+        wm.start()
+        wh.wait()
+        wm.wait()
         return 0
 
     jax.lax.fori_loop(0, nblocks, body, 0)
 
 
-def backward_split(h_src_t: jax.Array,        # (NHF8, E+EB) edge-major
+def backward_split(h_src: jax.Array,          # (NHF8, E+EB) edge-major or
+                   #                            (E+EB, NHF8) row-major
                    meta: jax.Array,           # (MR, E+EB) logits|drop|recv
                    receivers: jax.Array,      # (E,) int32 dst-sorted
                    g: jax.Array,              # (N, NH*F) upstream cotangent
@@ -293,15 +324,19 @@ def backward_split(h_src_t: jax.Array,        # (NHF8, E+EB) edge-major
                    num_nodes: int, nh: int, f: int,
                    *, eps: float, eb: int, nb: int,
                    with_dropout: bool, interpret: bool,
-                   normalize: bool = True, vma: tuple = ()):
-    """Split-input twin of backward_packed: returns d_packed (KO, E+EB)
-    with rows [d_h (NHF8) | d_logits (NH8) (| d_drop NH8)] edge-major."""
+                   normalize: bool = True, vma: tuple = (),
+                   h_rowmajor: bool = False):
+    """Split-input twin of backward_packed. Returns (d_h, d_meta):
+    d_h in h_src's layout (row-major feeds the sorted scatter without an
+    XLA transpose); d_meta (KM, E+EB) edge-major rows
+    [d_logits NH8 (| d_drop NH8)]."""
     e = receivers.shape[0]
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
     nh8 = _round_up(nh, 8)
     nhf8 = _round_up(nh * f, 8)
-    ko = nhf8 + nh8 + (nh8 if with_dropout else 0)
+    km = nh8 + (nh8 if with_dropout else 0)
+    e_cols = meta.shape[1]
 
     def node_t(a, rows):
         a_t = a.T
@@ -315,15 +350,18 @@ def backward_split(h_src_t: jax.Array,        # (NHF8, E+EB) edge-major
     bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
     tile_off = jnp.searchsorted(receivers, bounds, side="left"
                                 ).astype(jnp.int32)
-    zeros = jnp.zeros((ko, h_src_t.shape[1]), jnp.float32)
+    dh_shape = ((e_cols, nhf8) if h_rowmajor else (nhf8, e_cols))
+    zeros_h = jnp.zeros(dh_shape, jnp.float32)
+    zeros_m = jnp.zeros((km, e_cols), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # h_src_t
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # h_src
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # meta
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # zeros
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # zeros_h
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # zeros_m
             pl.BlockSpec((nhf8, nb), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),              # g_t
             pl.BlockSpec((nhf8, nb), lambda i, *_: (0, i),
@@ -331,35 +369,43 @@ def backward_split(h_src_t: jax.Array,        # (NHF8, E+EB) edge-major
             pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),              # denom_t
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)),
         scratch_shapes=[
-            pltpu.VMEM((2, nhf8, eb), h_src_t.dtype),
+            pltpu.VMEM((2, eb, nhf8) if h_rowmajor else (2, nhf8, eb),
+                       h_src.dtype),
             pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),
-            pltpu.VMEM((2, ko, eb), jnp.float32),
-            pltpu.VMEM((ko, eb), jnp.float32),
+            pltpu.VMEM((2, eb, nhf8) if h_rowmajor else (2, nhf8, eb),
+                       jnp.float32),
+            pltpu.VMEM((2, km, eb), jnp.float32),
+            pltpu.VMEM((eb, nhf8) if h_rowmajor else (nhf8, eb),
+                       jnp.float32),
+            pltpu.VMEM((km, eb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
         ],
     )
     kernel = functools.partial(
         _kernel_split, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
-        ko=ko, e_real=e, eps=eps, with_dropout=with_dropout,
-        normalize=normalize)
+        km=km, e_real=e, eps=eps, with_dropout=with_dropout,
+        normalize=normalize, h_rowmajor=h_rowmajor)
     sds_kw = {"vma": frozenset(vma)} if vma else {}
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ko, h_src_t.shape[1]), jnp.float32,
-                                       **sds_kw),
-        input_output_aliases={3: 0},   # zeros -> output (after prefetch)
+        out_shape=(jax.ShapeDtypeStruct(dh_shape, jnp.float32, **sds_kw),
+                   jax.ShapeDtypeStruct((km, e_cols), jnp.float32,
+                                        **sds_kw)),
+        input_output_aliases={3: 0, 4: 1},  # zeros -> outputs (post-prefetch)
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * (e + eb) * nb * (nhf8 + nh8),
-            bytes_accessed=(e + eb) * (nhf8 + meta.shape[0] + 2 * ko) * 4
+            bytes_accessed=(e + eb) * (2 * nhf8 + meta.shape[0]
+                                       + 2 * km) * 4
             + n_pad * (2 * nhf8 + nh8) * 4,
             transcendentals=(e + eb) * nh8),
         interpret=interpret,
-    )(tile_off, h_src_t, meta, zeros, g_t, out_t, denom_t)
+    )(tile_off, h_src, meta, zeros_h, zeros_m, g_t, out_t, denom_t)
 
 
 def backward_packed(packed: jax.Array,        # (R, E+EB) from forward
