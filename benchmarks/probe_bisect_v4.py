@@ -231,3 +231,97 @@ def sweep_blocks2():
         except Exception as exc:  # noqa: BLE001
             print(json.dumps({"kdt": kdt, "eb": eb, "nb": nb,
                               "error": str(exc)[:160]}), flush=True)
+
+
+def bisect_bwd():
+    """Which backward stage balloons?"""
+    import jax
+    import jax.numpy as jnp
+    from gat_pytorch_tpu.ops.pallas import segment_attention as fsa
+    from gat_pytorch_tpu.ops.pallas.segment_attention_bwd import (
+        backward_split)
+    from gat_pytorch_tpu.ops.pallas.segment_sum import (
+        segment_sum_pallas_rows)
+    from gat_pytorch_tpu.utils.platform import is_tpu_backend
+
+    n, e, nh, f = 100_000, 1_000_000, 8, 16
+    eb, nb = 1024, 256
+    interp = not is_tpu_backend()
+    scan_len = int(os.environ.get("GAT_TPU_BENCH_SCAN", "10"))
+    rng = np.random.default_rng(0)
+    recv_np = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    send_np = rng.integers(0, n, e).astype(np.int32)
+    order_np = np.argsort(send_np, kind="stable").astype(np.int32)
+    lg = jax.device_put(jnp.asarray(
+        rng.normal(size=(e, nh)).astype(np.float32)))
+    h = jax.device_put(jnp.asarray(
+        rng.normal(size=(n, 128)).astype(np.float32)))
+    dh = jax.device_put(jnp.asarray(
+        rng.normal(size=(e + eb, 128)).astype(np.float32)))
+    meta = jax.device_put(jnp.asarray(
+        rng.normal(size=(16, e + eb)).astype(np.float32)))
+    g = jax.device_put(jnp.asarray(
+        rng.normal(size=(n, 128)).astype(np.float32)))
+    denom = jax.device_put(jnp.asarray(
+        np.abs(rng.normal(size=(n, nh))).astype(np.float32)))
+    recv = jax.device_put(jnp.asarray(recv_np))
+    send = jax.device_put(jnp.asarray(send_np))
+    order = jax.device_put(jnp.asarray(order_np))
+
+    def scanned(body):
+        def run(*args):
+            def it(acc, _):
+                v = body(acc, *args)
+                return v * 1e-30, v
+            acc, vs = jax.lax.scan(it, jnp.float32(0.0), None,
+                                   length=scan_len)
+            return vs[-1]
+        return jax.jit(run)
+
+    def bench(name, body, *args, iters=3):
+        fn = scanned(body)
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        float(np.asarray(out))
+        dt = (time.perf_counter() - t0) / (iters * scan_len)
+        print(json.dumps({"stage": name, "ms": round(dt * 1e3, 3)}),
+              flush=True)
+
+    def bwd_kernel(acc, dhh, mm, gg, dd):
+        d_h, d_meta = backward_split(
+            dhh * (1.0 + acc * 1e-30), mm, recv, gg, gg, dd,
+            n, nh, f, eps=1e-8, eb=eb, nb=nb, with_dropout=False,
+            interpret=interp, h_rowmajor=True)
+        return jnp.sum(d_h[0]) + jnp.sum(d_meta[0])
+    bench("bwd_kernel", bwd_kernel, dh, meta, g, denom)
+
+    def scatter_rows(acc, dhh):
+        ext = jnp.arange(e, e + eb, dtype=order.dtype)
+        gs = jnp.take(dhh * (1.0 + acc * 1e-30),
+                      jnp.concatenate([order, ext]), axis=0)
+        ids = jnp.take(send, order, axis=0)
+        dt_ = segment_sum_pallas_rows(gs, ids, n, eb=eb, nb=nb,
+                                      interpret=interp)
+        return jnp.sum(dt_[0])
+    bench("scatter_rows", scatter_rows, dh)
+
+    def full_grad(acc, lgg, hh):
+        def loss(lgg, hh):
+            out = fsa.fused_segment_attention_table(
+                lgg, hh, send, recv, None, order, n, nh, f,
+                1e-8, eb, nb, interp)
+            return jnp.sum(out)
+        gl, gh = jax.grad(loss, argnums=(0, 1))(
+            lgg, hh * (1.0 + acc * 1e-30))
+        return jnp.sum(gl) + jnp.sum(gh)
+    bench("full_grad", full_grad, lg, h)
+
+    def fwd_only(acc, lgg, hh):
+        out = fsa.fused_segment_attention_table(
+            lgg, hh * (1.0 + acc * 1e-30), send, recv, None, order,
+            n, nh, f, 1e-8, eb, nb, interp)
+        return jnp.sum(out)
+    bench("fwd_only", fwd_only, lg, h)

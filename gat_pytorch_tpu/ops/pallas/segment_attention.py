@@ -320,10 +320,11 @@ def _kernel_split(tile_off_ref,        # scalar prefetch: (T+1,) int32
 
         start = pl.multiple_of(lo + b * eb, eb)
         if h_rowmajor:
-            # XLA's row gather delivers (EB, NHF8); transpose on-chip —
-            # a lane-axis gather from a transposed table lowers to
-            # 1-lane column slices (measured ~100x slower, PERF.md r2)
-            h_t = hbuf[slot].T.astype(jnp.float32)          # (NHF8, EB)
+            # XLA's row gather delivers (EB, NHFL>=128 lanes); transpose
+            # on-chip and slice to the real rows — a lane-axis gather
+            # from a transposed table lowers to 1-lane column slices
+            # (measured ~100x slower, PERF.md r2)
+            h_t = hbuf[slot].T[:nhf8].astype(jnp.float32)   # (NHF8, EB)
         else:
             h_t = hbuf[slot].astype(jnp.float32)            # (NHF8, EB)
         meta = mbuf[slot]                                   # (MR, EB)
@@ -416,11 +417,16 @@ def gather_h_src_t(h_flat: jax.Array,         # (N, NH*F) node-major
     kw = {"mode": "wrap"} if mode.endswith("_pib") else {}
     barrier = os.environ.get("GAT_TPU_GATHER_BARRIER") == "1"
     if mode.startswith("rowk"):
-        h8 = h_flat if nhf == nhf8 else jnp.pad(
-            h_flat, ((0, 0), (0, nhf8 - nhf)))               # N-sized pad
+        # row-major blocks are DMA-sliced on sublanes, but Mosaic still
+        # requires the LANE dim be a multiple of 128 — pad the table to
+        # 128 lanes (N-sized pad; the kernel slices back to nhf8 rows
+        # after its on-chip transpose)
+        nhfl = _round_up(nhf, 128)
+        h8 = h_flat if nhf == nhfl else jnp.pad(
+            h_flat, ((0, 0), (0, nhfl - nhf)))               # N-sized pad
         if barrier:
             h8 = jax.lax.optimization_barrier(h8)
-        return jnp.take(h8, s, axis=0, **kw), True           # (E+eb, NHF8)
+        return jnp.take(h8, s, axis=0, **kw), True           # (E+eb, NHFL)
     if mode.startswith("row"):
         g = jnp.take(h_flat, s, axis=0, **kw)                # (E+eb, NHF)
         if barrier:
@@ -467,8 +473,8 @@ def _forward_split(logits: jax.Array,         # (E, NH) post-activation
         out_specs=pl.BlockSpec((nhf8 + nh8, nb), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, eb, nhf8) if h_rowmajor else (2, nhf8, eb),
-                       h_src_t.dtype),
+            pltpu.VMEM((2, eb, h_src_t.shape[1]) if h_rowmajor
+                       else (2, nhf8, eb), h_src_t.dtype),
             pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
@@ -556,11 +562,26 @@ def _fsat_bwd(num_nodes, nh, f, eps, eb, nb, interpret, num_src_nodes,
     d_logits = d_meta[0:nh, :e].T
     d_drop = d_meta[nh8:nh8 + nh, :e].T if with_dropout else None
     # d(h_flat): scatter the feature cotangent back to nodes. Row-major
-    # d_h feeds the sorted reduction DIRECTLY (no E-sized transpose —
-    # the round-1 backward paid one here); edge-major (lane/row modes)
-    # still transposes first. With src_order the scatter is the sorted
-    # Pallas segment sum; without, an XLA unsorted scatter-add.
-    g_rows = d_h[:e, :] if rowmajor else d_h[:nhf8, :e].T   # (E, NHF8)
+    # d_h feeds the ROW-major sorted reduction kernel directly — no
+    # E-sized transpose anywhere in the backward (the round-1 path paid
+    # one, and an XLA transpose feeding a pallas operand materialises
+    # catastrophically — PERF.md r2). Edge-major (lane/row modes) keeps
+    # the transposed path. Without src_order: XLA unsorted scatter-add.
+    if src_order is not None and rowmajor:
+        # extend the permutation into d_h's zero overrun rows so the
+        # rows kernel can over-read full blocks; their ids point past
+        # every segment tile (ignored by the one-hot)
+        ext = jnp.arange(e, e + eb, dtype=src_order.dtype)
+        g_sorted = jnp.take(d_h, jnp.concatenate([src_order, ext]),
+                            axis=0)                         # (E+eb, NHFL)
+        ids_sorted = jnp.take(senders, src_order, axis=0)
+        from .segment_sum import segment_sum_pallas_rows
+        d_table = segment_sum_pallas_rows(g_sorted, ids_sorted, n_src,
+                                          eb=eb, nb=nb,
+                                          interpret=interpret, vma=vma)
+        return (d_logits, d_table[:, :nh * f], None, None, d_drop, None)
+    g_rows = (d_h[:e, :nhf8] if rowmajor
+              else d_h[:nhf8, :e].T)                        # (E, NHF8)
     if src_order is not None:
         g_sorted = jnp.take(g_rows, src_order, axis=0)
         ids_sorted = jnp.take(senders, src_order, axis=0)
@@ -721,7 +742,7 @@ def _fsap_bwd(num_nodes, nh, f, eb, nb, interpret, vma, res, g):
         d_packed = backward_packed(
             packed, receivers, g_num, g_num, g_denom, num_nodes, nh, f,
             eps=0.0, eb=eb, nb=nb, with_dropout=with_dropout,
-            interpret=interpret, normalize=False)
+            interpret=interpret, normalize=False, vma=tuple(vma))
         d_h = d_packed[:nh * f, :e].T
         d_logits = d_packed[nhf8:nhf8 + nh, :e].T
         d_drop = (d_packed[nhf8 + nh8:nhf8 + nh8 + nh, :e].T

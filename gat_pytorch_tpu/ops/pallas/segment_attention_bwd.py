@@ -170,7 +170,7 @@ def _kernel_split(tile_off_ref,
                   hbuf, mbuf, dhbuf, dmbuf, rhbuf, rmbuf,
                   sems, wsems, rsems,
                   *, eb: int, nb: int, nh: int, f: int, nh8: int,
-                  nhf8: int, km: int, e_real: int, eps: float,
+                  nhf8: int, nhfl: int, km: int, e_real: int, eps: float,
                   with_dropout: bool, normalize: bool,
                   h_rowmajor: bool):
     """backward_packed's math over the v4 SPLIT inputs. Emits TWO
@@ -235,7 +235,7 @@ def _kernel_split(tile_off_ref,
         start = pl.multiple_of(lo + b * eb, eb)
 
         if h_rowmajor:
-            h_t = hbuf[slot].T.astype(jnp.float32)          # (NHF8, EB)
+            h_t = hbuf[slot].T[:nhf8].astype(jnp.float32)   # (NHF8, EB)
         else:
             h_t = hbuf[slot].astype(jnp.float32)
         meta = mbuf[slot]
@@ -278,7 +278,10 @@ def _kernel_split(tile_off_ref,
             mparts.append(hdotg * ex_t * invd_e)
         dmblk = jnp.concatenate(mparts, axis=0)
         dmblk = jnp.pad(dmblk, ((0, km - dmblk.shape[0]), (0, 0)))
-        dhblk = d_h.T if h_rowmajor else d_h
+        if h_rowmajor:
+            dhblk = jnp.pad(d_h, ((0, nhfl - nhf8), (0, 0))).T
+        else:
+            dhblk = d_h
 
         # first (aligned-down) block may contain the previous tile's
         # edges: accumulate against what is already there
@@ -337,6 +340,7 @@ def backward_split(h_src: jax.Array,          # (NHF8, E+EB) edge-major or
     nhf8 = _round_up(nh * f, 8)
     km = nh8 + (nh8 if with_dropout else 0)
     e_cols = meta.shape[1]
+    nhfl = h_src.shape[1] if h_rowmajor else nhf8
 
     def node_t(a, rows):
         a_t = a.T
@@ -350,7 +354,7 @@ def backward_split(h_src: jax.Array,          # (NHF8, E+EB) edge-major or
     bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
     tile_off = jnp.searchsorted(receivers, bounds, side="left"
                                 ).astype(jnp.int32)
-    dh_shape = ((e_cols, nhf8) if h_rowmajor else (nhf8, e_cols))
+    dh_shape = ((e_cols, nhfl) if h_rowmajor else (nhf8, e_cols))
     zeros_h = jnp.zeros(dh_shape, jnp.float32)
     zeros_m = jnp.zeros((km, e_cols), jnp.float32)
 
@@ -372,13 +376,13 @@ def backward_split(h_src: jax.Array,          # (NHF8, E+EB) edge-major or
         out_specs=(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                    pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)),
         scratch_shapes=[
-            pltpu.VMEM((2, eb, nhf8) if h_rowmajor else (2, nhf8, eb),
+            pltpu.VMEM((2, eb, nhfl) if h_rowmajor else (2, nhf8, eb),
                        h_src.dtype),
             pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),
-            pltpu.VMEM((2, eb, nhf8) if h_rowmajor else (2, nhf8, eb),
+            pltpu.VMEM((2, eb, nhfl) if h_rowmajor else (2, nhf8, eb),
                        jnp.float32),
             pltpu.VMEM((2, km, eb), jnp.float32),
-            pltpu.VMEM((eb, nhf8) if h_rowmajor else (nhf8, eb),
+            pltpu.VMEM((eb, nhfl) if h_rowmajor else (nhf8, eb),
                        jnp.float32),
             pltpu.VMEM((km, eb), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -388,7 +392,7 @@ def backward_split(h_src: jax.Array,          # (NHF8, E+EB) edge-major or
     )
     kernel = functools.partial(
         _kernel_split, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
-        km=km, e_real=e, eps=eps, with_dropout=with_dropout,
+        nhfl=nhfl, km=km, e_real=e, eps=eps, with_dropout=with_dropout,
         normalize=normalize, h_rowmajor=h_rowmajor)
     sds_kw = {"vma": frozenset(vma)} if vma else {}
     return pl.pallas_call(
@@ -416,7 +420,7 @@ def backward_packed(packed: jax.Array,        # (R, E+EB) from forward
                     num_nodes: int, nh: int, f: int,
                     *, eps: float, eb: int, nb: int,
                     with_dropout: bool, interpret: bool,
-                    normalize: bool = True):
+                    normalize: bool = True, vma: tuple = ()):
     """Returns d_packed (KO, E+EB): rows [d_h (NHF8) | d_logits (NH8)
     (| d_drop NH8)] edge-major; slice+transpose at the caller.
 
@@ -470,10 +474,12 @@ def backward_packed(packed: jax.Array,        # (R, E+EB) from forward
     kernel = functools.partial(
         _kernel, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8, ko=ko,
         e_real=e, eps=eps, with_dropout=with_dropout, normalize=normalize)
+    sds_kw = {"vma": frozenset(vma)} if vma else {}
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ko, packed.shape[1]), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ko, packed.shape[1]), jnp.float32,
+                                       **sds_kw),
         input_output_aliases={2: 0},   # zeros -> output (after prefetch)
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * (e + eb) * nb * (nhf8 + nh8),

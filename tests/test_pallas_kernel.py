@@ -160,7 +160,8 @@ def _table_inputs(num_nodes, num_edges, nh, f, seed=0):
             jnp.asarray(recv), jnp.asarray(order))
 
 
-@pytest.mark.parametrize("gather_mode", ["lane", "row", "lane_pib"])
+@pytest.mark.parametrize("gather_mode", ["rowk", "lane", "row",
+                                         "lane_pib"])
 def test_table_op_matches_oracle(gather_mode, monkeypatch):
     """v4 table op (op-owned gather, split edge-major inputs) forward +
     grads vs the XLA oracle, across the gather formulations."""
