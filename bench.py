@@ -39,8 +39,8 @@ import time
 import numpy as np
 
 # Measured via `python bench.py --measure_baseline` on the v5e chip
-# (round 2; round-1 value was 7.09e6 — docs/PERF.md history).
-XLA_BASELINE_EDGES_PER_S = 7.09e6
+# (round 2: 7.0757e6; round-1 value was 7.09e6 — consistent re-measure).
+XLA_BASELINE_EDGES_PER_S = 7.0757e6
 
 
 def hbm_bandwidth_bytes_per_s() -> float:

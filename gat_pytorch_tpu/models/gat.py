@@ -215,8 +215,21 @@ def gat_layer_apply(params: Params,
             s_both = jnp.dot(h_flat, jnp.concatenate([a_src, a_dst], 1),
                              preferred_element_type=jnp.float32)
             s_src, s_dst = s_both[:, :nh], s_both[:, nh:]
-        logits = (seg.gather_rows(s_src, senders)
-                  + seg.gather_rows(s_dst, receivers))        # (E, NH)
+        # sorted-transpose gathers: the plain take's VJP is an unsorted
+        # XLA scatter-add (~seconds at 5M edges). receivers are dst-
+        # sorted; senders route through src_order when available.
+        # Custom-vjp gathers trip shard_map's varying-axes machinery
+        # (pvary on already-varying cotangents), so the cut-neighbourhood
+        # sharded path (check_vma=True) keeps the plain takes.
+        sg = edge_axis is None or dst_owned
+        s_src_e = (seg.gather_rows_sorted_grad(s_src, senders, num_nodes,
+                                               src_order)
+                   if sg and src_order is not None
+                   else seg.gather_rows(s_src, senders))
+        s_dst_e = (seg.gather_rows_sorted_grad(s_dst, receivers,
+                                               num_nodes)
+                   if sg else seg.gather_rows(s_dst, receivers))
+        logits = s_src_e + s_dst_e                            # (E, NH)
         if not cfg.paper_faithful:
             # global max-cap BEFORE LeakyReLU — reference :84-85
             masked = jnp.where(edge_mask[:, None], logits, -jnp.inf)
@@ -346,7 +359,11 @@ def gat_layer_apply(params: Params,
 
     # (5) SpMM: gather src features, weight, sorted segment-sum by dst
     #     — reference :119-127
-    src_feats = seg.gather_rows(h, senders)                   # (E, NH, F)
+    src_feats = (seg.gather_rows_sorted_grad(h, senders, num_nodes,
+                                             src_order)
+                 if src_order is not None
+                 and (edge_axis is None or dst_owned)
+                 else seg.gather_rows(h, senders))           # (E, NH, F)
     weighted = src_feats * alpha_drop[:, :, None]
     out = seg.segment_sum(weighted, recv_eff, n_eff)          # (N, NH, F)
     if edge_axis is not None:

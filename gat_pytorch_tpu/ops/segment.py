@@ -58,9 +58,74 @@ def gather_rows(table: jax.Array, indices: jax.Array) -> jax.Array:
 
     XLA lowers this to a dynamic-gather which on TPU streams rows from HBM;
     keep rows >= 128 lanes wide where possible for full bandwidth.
+    NOTE: the VJP of this plain take is an UNSORTED XLA scatter-add —
+    ~seconds at millions of edges on TPU. Inside differentiated layer
+    code prefer `gather_rows_sorted_grad` (dst-sorted ids) or pass
+    src_order (models/gat.py logits path).
     """
     return jnp.take(table, indices, axis=0, indices_are_sorted=False,
                     unique_indices=False, fill_value=None)
+
+
+import functools as _functools  # noqa: E402  (local to avoid cycle)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows_presorted(table: jax.Array,       # (N, ...) node table
+                           indices: jax.Array,     # (E,) int32 ASCENDING
+                           num_segments: int) -> jax.Array:
+    return jnp.take(table, indices, axis=0)
+
+
+def _grp_fwd(table, indices, num_segments):
+    return jnp.take(table, indices, axis=0), indices
+
+
+def _grp_bwd(num_segments, indices, g):
+    return (segment_sum(g, indices, num_segments,
+                        indices_are_sorted=True), None)
+
+
+_gather_rows_presorted.defvjp(_grp_fwd, _grp_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_rows_ordered(table: jax.Array,
+                         indices: jax.Array,       # (E,) int32 arbitrary
+                         order: jax.Array,         # perm sorting indices
+                         num_segments: int) -> jax.Array:
+    return jnp.take(table, indices, axis=0)
+
+
+def _gro_fwd(table, indices, order, num_segments):
+    return jnp.take(table, indices, axis=0), (indices, order)
+
+
+def _gro_bwd(num_segments, res, g):
+    indices, order = res
+    g = jnp.take(g, order, axis=0)
+    ids = jnp.take(indices, order, axis=0)
+    return (segment_sum(g, ids, num_segments, indices_are_sorted=True),
+            None, None)
+
+
+_gather_rows_ordered.defvjp(_gro_fwd, _gro_bwd)
+
+
+def gather_rows_sorted_grad(table: jax.Array,
+                            indices: jax.Array,
+                            num_segments: int,
+                            order: jax.Array | None = None) -> jax.Array:
+    """`table[indices]` whose TRANSPOSE is a SORTED segment sum instead
+    of XLA's unsorted scatter-add (which serialises and costs seconds at
+    millions of edges — docs/PERF.md r2). `order` is a permutation
+    sorting `indices` ascending; pass None when indices are already
+    sorted (e.g. dst-sorted receivers). Dispatches to fixed-arity
+    custom-vjp primitives (a defaulted array arg would skew the vjp's
+    output arity)."""
+    if order is None:
+        return _gather_rows_presorted(table, indices, num_segments)
+    return _gather_rows_ordered(table, indices, order, num_segments)
 
 
 def segment_softmax(logits: jax.Array,
@@ -102,7 +167,15 @@ def segment_softmax(logits: jax.Array,
     denom = segment_sum(ex, segment_ids, num_segments)
     if edge_axis is not None:
         denom = jax.lax.psum(denom, edge_axis)
-    denom_per_edge = gather_rows(denom, segment_ids)
+    # segment_ids are sorted (segment_sum above relies on it), so the
+    # gather's transpose can be a sorted reduction too. Under shard_map's
+    # varying-axes checker the custom-vjp gather trips pvary typing —
+    # keep the plain take there (models/gat.py rationale).
+    if edge_axis is None:
+        denom_per_edge = gather_rows_sorted_grad(denom, segment_ids,
+                                                 num_segments)
+    else:
+        denom_per_edge = gather_rows(denom, segment_ids)
     out = ex / (denom_per_edge + eps)
     if edge_mask is not None:
         out = jnp.where(edge_mask[:, None], out, 0.0)

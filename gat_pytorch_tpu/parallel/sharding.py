@@ -28,7 +28,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from ..graph.graph import Graph
 from .mesh import DATA_AXIS, EDGE_AXIS
 
-_EDGE_FIELDS = frozenset({"senders", "receivers", "edge_mask"})
+# src_order is edge-length and, under the dst-owner layout, holds
+# per-shard LOCAL permutations — it must be sliced with the edge axis
+_EDGE_FIELDS = frozenset({"senders", "receivers", "edge_mask",
+                          "src_order"})
 _META_FIELDS = frozenset({"num_nodes", "num_edges"})
 
 
