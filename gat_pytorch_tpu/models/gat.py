@@ -30,6 +30,7 @@ slope 0.2, per-segment max subtraction, no global cap.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -122,6 +123,45 @@ def _split_attention_map(a: jax.Array, nh: int, f: int
     return a_src, a_dst
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _global_cap(s_src, s_dst, senders, receivers, edge_mask,
+                num_nodes: int, nh: int):
+    """The reference's global pre-LeakyReLU logit max-cap
+    (models/gat_layer.py:84-85) with a SPARSE gradient: the cap's
+    cotangent lands on exactly one (edge, head) — the argmax — so the
+    backward is two one-element scatters instead of differentiating
+    through E-sized gathers (whose transposes cost ~360 ms at 5M edges,
+    docs/PERF.md r2). Matches jnp.max's VJP except for exact ties
+    (measure-zero on real data)."""
+    raw = (jnp.take(s_src, senders, axis=0)
+           + jnp.take(s_dst, receivers, axis=0))
+    return jnp.max(jnp.where(edge_mask[:, None], raw, -jnp.inf))
+
+
+def _global_cap_fwd(s_src, s_dst, senders, receivers, edge_mask,
+                    num_nodes, nh):
+    raw = (jnp.take(s_src, senders, axis=0)
+           + jnp.take(s_dst, receivers, axis=0))
+    masked = jnp.where(edge_mask[:, None], raw, -jnp.inf)
+    idx = jnp.argmax(masked)
+    cap = masked.ravel()[idx]
+    return cap, (senders, receivers, idx)
+
+
+def _global_cap_bwd(num_nodes, nh, res, g):
+    senders, receivers, idx = res
+    e_idx = idx // nh
+    h_idx = idx % nh
+    d_src = jnp.zeros((num_nodes, nh), jnp.float32
+                      ).at[senders[e_idx], h_idx].add(g)
+    d_dst = jnp.zeros((num_nodes, nh), jnp.float32
+                      ).at[receivers[e_idx], h_idx].add(g)
+    return d_src, d_dst, None, None, None
+
+
+_global_cap.defvjp(_global_cap_fwd, _global_cap_bwd)
+
+
 def gat_layer_apply(params: Params,
                     cfg: GATLayerConfig,
                     x: jax.Array,
@@ -197,6 +237,44 @@ def gat_layer_apply(params: Params,
         h_flat = jnp.dot(x, params["W"],
                          preferred_element_type=jnp.float32)
     h = h_flat.reshape(num_nodes, nh, f)
+
+    # ---- v5 whole-attention fusion (in-kernel logits) -------------------
+    # default reference-quirk mode, single device: NO (E, NH) edge array
+    # is ever materialised in XLA (their gathers/reductions are the TPU
+    # pathology — docs/PERF.md r2). The kernel computes s_src from the
+    # gathered h rows, broadcasts s_dst per dst tile, applies cap +
+    # LeakyReLU + softmax + aggregation in one pass; the cap itself is
+    # the only remaining edge-space op (forward-only gathers + a sparse
+    # one-element gradient).
+    if (_resolve_backend(backend) == "pallas" and not return_attention
+            and edge_axis is None and not cfg.paper_faithful
+            and not cfg.const_attention and src_order is not None):
+        from ..utils.platform import is_tpu_backend
+        interpret = not is_tpu_backend()
+        a_src, a_dst = _split_attention_map(params["a"], nh, f)
+        s_both = jnp.dot(h_flat, jnp.concatenate([a_src, a_dst], 1),
+                         preferred_element_type=jnp.float32)
+        s_src_n, s_dst_n = s_both[:, :nh], s_both[:, nh:]
+        cap = _global_cap(s_src_n, s_dst_n, senders, receivers,
+                          edge_mask, num_nodes, nh)
+        drop_mask = None
+        if training and cfg.dropout > 0.0:
+            if rng is None:
+                raise ValueError("rng required for attention dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, (E, nh))
+            drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
+        e_real = jnp.sum(edge_mask).astype(jnp.int32)
+        out = fsa.fused_gat_table(
+            h_flat, a_src, s_dst_n, cap, drop_mask, senders, receivers,
+            src_order, e_real, num_nodes, nh, f, 1e-8, cfg.slope,
+            1024, 256, interpret)
+        if cfg.concat:
+            out = out.reshape(num_nodes, nh * f)
+        else:
+            out = jnp.mean(out.reshape(num_nodes, nh, f), axis=1)
+        if cfg.bias:
+            out = out + params["bias"]
+        return out
 
     # (2) edge logits (SDDMM) — reference :70-92, decomposed to node scores
     if cfg.const_attention:

@@ -796,3 +796,276 @@ def reference_segment_attention(logits, h_src, receivers, drop_mask,
                               indices_are_sorted=True)
     inv = 1.0 / (denom + eps)
     return (agg * inv[:, :, None]).reshape(num_nodes, nh * f)
+
+
+# --------------------------------------------------------------------------
+# v5: IN-KERNEL LOGITS. The round-2 scale bisection (docs/PERF.md) showed
+# narrow (E, NH) edge arrays are poison on TPU: XLA runs their gathers at
+# ~200M rows/s regardless of width and their (even sorted!) segment
+# reductions at ~360 ms per 5M edges. v5 never materialises them: the
+# kernel computes per-edge logits itself — s_src from the gathered h rows
+# via a tiny MXU contraction, s_dst broadcast from a per-tile node block,
+# global cap as a scalar operand, LeakyReLU inline — and the backward
+# produces d(s_dst) as per-tile reductions and d(a_src)/d(cap) as
+# VMEM-accumulated outputs. Replaces reference models/gat_layer.py:76-109
+# wholesale. Non-faithful (reference-quirk) mode only; paper_faithful
+# keeps the v4 path.
+# --------------------------------------------------------------------------
+
+def _kernel_v5(pref_ref,           # (T+2,) int32: tile offsets | e_real
+               h_hbm,              # (E_cols, NHFL) row-major gathered rows
+               meta_hbm,           # (MR, E_cols): [drop rows?] recv row
+               a_src_ref,          # (NHFL, NH8) VMEM whole
+               s_dst_ref,          # (NH8, NB) VMEM per tile
+               cap_ref,            # (1, 1) SMEM
+               acc_ref,            # (NHF8+NH8, NB) VMEM out per tile
+               hbuf, mbuf, sems,
+               *, eb: int, nb: int, nh: int, f: int, nh8: int,
+               nhf8: int, nhfl: int, eps: float, slope: float,
+               with_dropout: bool):
+    i = pl.program_id(0)
+    lo = (pref_ref[i] // eb) * eb
+    hi = pref_ref[i + 1]
+    t = pl.num_programs(0)
+    e_real = pref_ref[t + 1]
+    nblocks = pl.cdiv(hi - lo, eb)
+
+    exp_rows = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 0)
+    exp_cols = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 1)
+    expander = ((exp_cols // f == exp_rows)
+                & (exp_rows < nh) & (exp_cols < nh * f)).astype(jnp.float32)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    a_src_t = a_src_ref[:].astype(jnp.float32)              # (NHFL, NH8)
+    cap = cap_ref[0, 0]
+
+    def dma_h(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(h_hbm.at[pl.ds(start, eb), :],
+                                     hbuf.at[slot], sems.at[slot, 0])
+
+    def dma_m(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
+                                     mbuf.at[slot], sems.at[slot, 1])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma_h(0, 0).start()
+        dma_m(0, 0).start()
+
+    def body(b, _):
+        slot = b % 2
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_h((b + 1) % 2, b + 1).start()
+            dma_m((b + 1) % 2, b + 1).start()
+
+        dma_h(slot, b).wait()
+        dma_m(slot, b).wait()
+
+        start = pl.multiple_of(lo + b * eb, eb)
+        hb = hbuf[slot].astype(jnp.float32)                 # (EB, NHFL)
+        h_full_t = hb.T                                     # (NHFL, EB)
+        h_t = h_full_t[:nhf8]
+        meta = mbuf[slot]
+        recv_at = nh8 if with_dropout else 0
+        recv_row = meta[recv_at:recv_at + 1, :]
+        rows = (i * nb
+                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                ).astype(jnp.float32)
+        onehot_t = (recv_row == rows).astype(jnp.float32)   # (NB, EB)
+
+        # logits assembled ON-CHIP: s_src via a lane-contraction MXU op
+        # over the row-major block, s_dst broadcast node->edge
+        s_src = jax.lax.dot_general(
+            a_src_t, hb, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NH8, EB)
+        s_dst_e = jax.lax.dot_general(
+            s_dst_ref[:], onehot_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NH8, EB)
+        pre = (s_src + s_dst_e) - cap
+        lgt = jnp.where(pre >= 0.0, pre, slope * pre)
+        ex = jnp.exp(lgt)
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
+        ex = jnp.where(col < e_real, ex, 0.0)               # (NH8, EB)
+
+        num_t = ex
+        if with_dropout:
+            num_t = num_t * meta[0:nh8, :]
+        num_wide = jax.lax.dot_general(
+            expander, num_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHF8, EB)
+        weighted_t = h_t * num_wide
+        dt = _matmul_dtype()
+        combined = jnp.concatenate([weighted_t, ex], axis=0).astype(dt)
+        acc_ref[:] += jax.lax.dot_general(
+            combined, onehot_t.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (NHF8+NH8, NB)
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, body, 0)
+
+    d = acc_ref[nhf8:, :]
+    inv = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
+    inv_wide = jax.lax.dot_general(
+        expander, inv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:nhf8, :] = acc_ref[:nhf8, :] * inv_wide
+
+
+def _pack_meta_v5(drop_mask, receivers, nh8, eb):
+    parts = []
+    if drop_mask is not None:
+        dm = drop_mask.T
+        if dm.shape[0] != nh8:
+            dm = jnp.pad(dm, ((0, nh8 - dm.shape[0]), (0, 0)))
+        parts.append(dm)
+    parts.append(receivers.astype(jnp.float32)[None, :])
+    meta = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    mr = (nh8 if drop_mask is not None else 0) + 8
+    return jnp.pad(meta, ((0, mr - meta.shape[0]), (0, eb)))
+
+
+def _v5_operands(h_flat, a_src, s_dst, senders, receivers, e_real,
+                 nh, f, eb, nb):
+    """(h_src rows, padded a_src, nh8, nhf8, nhfl) for the v5 kernels."""
+    nhf = nh * f
+    nh8 = _round_up(nh, 8)
+    nhf8 = _round_up(nhf, 8)
+    nhfl = _round_up(nhf, 128)
+    h8 = h_flat if nhf == nhfl else jnp.pad(
+        h_flat, ((0, 0), (0, nhfl - nhf)))
+    import os
+    if (os.environ.get("GAT_TPU_H_DTYPE") == "bfloat16"
+            and h8.dtype == jnp.float32):
+        h8 = h8.astype(jnp.bfloat16)
+    h_src = jnp.take(h8, jnp.pad(senders, (0, eb)), axis=0)  # (E+eb, NHFL)
+    a_pad = jnp.pad(a_src, ((0, nhfl - a_src.shape[0]),
+                            (0, nh8 - a_src.shape[1])))
+    return h_src, a_pad, nh8, nhf8, nhfl
+
+
+def _forward_v5(h_src, meta, a_pad, s_dst, cap, receivers, e_real,
+                num_nodes, nh, f, *, eps, slope, eb, nb, interpret,
+                with_dropout):
+    t = pl.cdiv(num_nodes, nb)
+    n_pad = t * nb
+    nh8 = _round_up(nh, 8)
+    nhf8 = _round_up(nh * f, 8)
+    nhfl = h_src.shape[1]
+
+    s_dst_t = jnp.pad(s_dst.T, ((0, nh8 - nh), (0, n_pad - num_nodes)))
+
+    bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
+    tile_off = jnp.searchsorted(receivers, bounds, side="left"
+                                ).astype(jnp.int32)
+    pref = jnp.concatenate([tile_off, e_real[None].astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # h_src
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # meta
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # a_pad
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),             # s_dst_t
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # cap
+        ],
+        out_specs=pl.BlockSpec((nhf8 + nh8, nb), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, eb, nhfl), h_src.dtype),
+            pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_v5, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
+        nhfl=nhfl, eps=eps, slope=slope, with_dropout=with_dropout)
+    e = receivers.shape[0]
+    acc_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nhf8 + nh8, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * (e + eb) * nb * (nhf8 + nh8),
+            bytes_accessed=(e + eb) * (nhfl + meta.shape[0]) * 4
+            + n_pad * (nhf8 + nh8) * 4,
+            transcendentals=(e + eb) * nh8),
+        interpret=interpret,
+    )(pref, h_src, meta, a_pad, s_dst_t, cap.reshape(1, 1))
+    return (acc_t[:nh * f].T[:num_nodes],
+            acc_t[nhf8:nhf8 + nh].T[:num_nodes])
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16))
+def fused_gat_table(h_flat, a_src, s_dst, cap, drop_mask,
+                    senders, receivers, src_order, e_real,
+                    num_nodes: int, nh: int, f: int,
+                    eps: float = 1e-8, slope: float = 0.01,
+                    eb: int = 1024, nb: int = 256,
+                    interpret: bool = False):
+    """Whole-attention fused op, logits computed IN-KERNEL:
+
+        out[n] = sum_e 1[recv_e = n] drop_e ex_e h[send_e] / (D[n]+eps)
+        ex_e   = exp(leaky_slope((h[send_e].a_src + s_dst[recv_e]) - cap))
+
+    No (E, NH) array ever exists in XLA — the whole per-edge pipeline of
+    reference models/gat_layer.py:70-127 runs inside the kernel. The
+    backward emits d(h) row-major for the sorted-scatter kernel, d(s_dst)
+    as per-tile node reductions, and d(a_src)/d(cap) as VMEM-accumulated
+    outputs. e_real: dynamic count of real (non-padding) edges —
+    canonicalisation guarantees padding edges are the array tail.
+    """
+    out, _ = _fgt_fwd(h_flat, a_src, s_dst, cap, drop_mask, senders,
+                      receivers, src_order, e_real, num_nodes, nh, f,
+                      eps, slope, eb, nb, interpret)
+    return out
+
+
+def _fgt_fwd(h_flat, a_src, s_dst, cap, drop_mask, senders, receivers,
+             src_order, e_real, num_nodes, nh, f, eps, slope, eb, nb,
+             interpret):
+    nh8 = _round_up(nh, 8)
+    h_src, a_pad, _, _, _ = _v5_operands(
+        h_flat, a_src, s_dst, senders, receivers, e_real, nh, f, eb, nb)
+    meta = _pack_meta_v5(drop_mask, receivers, nh8, eb)
+    out, denom = _forward_v5(
+        h_src, meta, a_pad, s_dst, cap, receivers, e_real, num_nodes,
+        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, interpret=interpret,
+        with_dropout=drop_mask is not None)
+    return out, (h_src, meta, a_pad, s_dst, cap, senders, receivers,
+                 src_order, e_real, denom, out, drop_mask is not None)
+
+
+def _fgt_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret, res, g):
+    from .segment_sum import segment_sum_pallas_rows
+    from .segment_attention_bwd import backward_v5
+    (h_src, meta, a_pad, s_dst, cap, senders, receivers, src_order,
+     e_real, denom, out, with_dropout) = res
+    e = receivers.shape[0]
+    nh8 = _round_up(nh, 8)
+    d_h_rows, d_drop_t, d_sdst_t, d_apad, d_cap = backward_v5(
+        h_src, meta, a_pad, s_dst, cap, receivers, e_real, g, out, denom,
+        num_nodes, nh, f, eps=eps, slope=slope, eb=eb, nb=nb,
+        with_dropout=with_dropout, interpret=interpret)
+    # d(h): row-major cotangent -> sorted scatter (no narrow arrays)
+    ext = jnp.arange(e, e + eb, dtype=src_order.dtype)
+    g_sorted = jnp.take(d_h_rows, jnp.concatenate([src_order, ext]),
+                        axis=0)
+    ids_sorted = jnp.take(senders, src_order, axis=0)
+    d_table = segment_sum_pallas_rows(g_sorted, ids_sorted, num_nodes,
+                                      eb=eb, nb=nb, interpret=interpret)
+    d_h_flat = d_table[:, :nh * f]
+    d_a_src = d_apad[:nh * f, :nh]
+    d_s_dst = d_sdst_t[:nh].T[:num_nodes]
+    d_drop = d_drop_t[:nh, :e].T if with_dropout else None
+    return (d_h_flat, d_a_src, d_s_dst, d_cap[0, 0], d_drop,
+            None, None, None, None)
+
+
+fused_gat_table.defvjp(_fgt_fwd, _fgt_bwd)

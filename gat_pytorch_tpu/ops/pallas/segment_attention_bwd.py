@@ -488,3 +488,283 @@ def backward_packed(packed: jax.Array,        # (R, E+EB) from forward
             transcendentals=(e + eb) * nh8),
         interpret=interpret,
     )(tile_off, packed, zeros, g_t, out_t, denom_t)
+
+
+# --------------------------------------------------------------------------
+# v5 backward: logits recomputed in-kernel (segment_attention._kernel_v5),
+# quotient rule + leaky'/cap chain applied on-chip. Emits d(h) row-major,
+# d(dropout) edge-major, d(s_dst) as per-tile node reductions, and
+# d(a_src)/d(cap) as grid-accumulated VMEM outputs — NO narrow (E, NH)
+# array ever reaches XLA.
+# --------------------------------------------------------------------------
+
+def _kernel_v5_bwd(pref_ref,
+                   h_hbm,          # (E_cols, NHFL) row-major
+                   meta_hbm,       # (MR, E_cols): [drop?] recv
+                   zeros_h_hbm, zeros_m_hbm,
+                   g_t, out_t, denom_t,     # (nhf8|nh8, NB) per tile
+                   s_dst_ref,               # (NH8, NB) per tile
+                   a_src_ref,               # (NHFL, NH8) whole
+                   cap_ref,                 # (1, 1) SMEM
+                   dh_hbm, dmeta_hbm,       # aliased outputs
+                   dsdst_ref,               # (NH8, NB) VMEM out per tile
+                   dasrc_ref,               # (NHFL, NH8) VMEM grid-acc
+                   dcap_ref,                # (8, 128) VMEM grid-acc
+                   hbuf, mbuf, dhbuf, dmbuf, rhbuf, rmbuf,
+                   sems, wsems, rsems,
+                   *, eb: int, nb: int, nh: int, f: int, nh8: int,
+                   nhf8: int, nhfl: int, eps: float, slope: float,
+                   with_dropout: bool):
+    i = pl.program_id(0)
+    lo = (pref_ref[i] // eb) * eb
+    hi = pref_ref[i + 1]
+    t = pl.num_programs(0)
+    e_real = pref_ref[t + 1]
+    nblocks = pl.cdiv(hi - lo, eb)
+
+    exp_rows = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 0)
+    exp_cols = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 1)
+    expander = ((exp_cols // f == exp_rows)
+                & (exp_rows < nh) & (exp_cols < nh * f)).astype(jnp.float32)
+
+    d = denom_t[:]
+    inv_d = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
+    outg_h = jax.lax.dot_general(
+        expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d_den = -outg_h * inv_d
+
+    a_src_t = a_src_ref[:].astype(jnp.float32)              # (NHFL, NH8)
+    cap = cap_ref[0, 0]
+    dsdst_ref[:] = jnp.zeros_like(dsdst_ref)
+
+    @pl.when(i == 0)
+    def _():
+        dasrc_ref[:] = jnp.zeros_like(dasrc_ref)
+        dcap_ref[:] = jnp.zeros_like(dcap_ref)
+
+    def dma_h(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(h_hbm.at[pl.ds(start, eb), :],
+                                     hbuf.at[slot], sems.at[slot, 0])
+
+    def dma_m(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
+                                     mbuf.at[slot], sems.at[slot, 1])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma_h(0, 0).start()
+        dma_m(0, 0).start()
+
+    def body(b, _):
+        slot = b % 2
+        wslot = b % 2
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_h((b + 1) % 2, b + 1).start()
+            dma_m((b + 1) % 2, b + 1).start()
+
+        dma_h(slot, b).wait()
+        dma_m(slot, b).wait()
+        start = pl.multiple_of(lo + b * eb, eb)
+
+        hb = hbuf[slot].astype(jnp.float32)                 # (EB, NHFL)
+        h_full_t = hb.T
+        h_t = h_full_t[:nhf8]
+        meta = mbuf[slot]
+        recv_at = nh8 if with_dropout else 0
+        recv_row = meta[recv_at:recv_at + 1, :]
+        rows = (i * nb
+                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                ).astype(jnp.float32)
+        onehot_t = (recv_row == rows).astype(jnp.float32)   # (NB, EB)
+
+        # recompute forward logits/ex on-chip
+        s_src = jax.lax.dot_general(
+            a_src_t, hb, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_dst_e = jax.lax.dot_general(
+            s_dst_ref[:], onehot_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        pre = (s_src + s_dst_e) - cap
+        lgt = jnp.where(pre >= 0.0, pre, slope * pre)
+        ex = jnp.exp(lgt)
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
+        in_range = col < e_real
+        ex = jnp.where(in_range, ex, 0.0)
+
+        payload = jnp.concatenate([g_t[:], inv_d, d_den], axis=0)
+        payload_e = jax.lax.dot_general(
+            payload, onehot_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g_e = payload_e[0:nhf8, :]
+        invd_e = payload_e[nhf8:nhf8 + nh8, :]
+        dden_e = payload_e[nhf8 + nh8:nhf8 + 2 * nh8, :]
+
+        m = meta[0:nh8, :] if with_dropout else None
+
+        coef = ex * invd_e if m is None else ex * m * invd_e
+        coef_wide = jax.lax.dot_general(
+            expander, coef, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_h_feat = coef_wide * g_e                          # (NHF8, EB)
+
+        hdotg = jax.lax.dot_general(
+            expander, h_t * g_e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_ex = hdotg * invd_e
+        if m is not None:
+            d_ex = d_ex * m
+        d_lg = ex * (d_ex + dden_e)
+        d_pre = jnp.where(pre >= 0.0, d_lg, slope * d_lg)
+        d_raw = jnp.where(in_range, d_pre, 0.0)             # (NH8, EB)
+
+        # d(h) = feature term + attention term a_src . d_raw
+        d_h_att = jax.lax.dot_general(
+            a_src_t, d_raw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHFL, EB)
+        d_h_full = jnp.concatenate(
+            [d_h_att[:nhf8] + d_h_feat, d_h_att[nhf8:]], axis=0)
+        dhblk = d_h_full.T                                  # (EB, NHFL)
+
+        dsdst_ref[:] += jax.lax.dot_general(
+            d_raw, onehot_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NH8, NB)
+        dasrc_ref[:] += jax.lax.dot_general(
+            h_full_t, d_raw, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHFL, NH8)
+        dcap_ref[0, 0] += -jnp.sum(d_raw)
+
+        dmblk = hdotg * ex * invd_e                         # d_drop (NH8,EB)
+
+        @pl.when(b == 0)
+        def _():
+            rh = pltpu.make_async_copy(dh_hbm.at[pl.ds(start, eb), :],
+                                       rhbuf, rsems.at[0])
+            rm = pltpu.make_async_copy(dmeta_hbm.at[:, pl.ds(start, eb)],
+                                       rmbuf, rsems.at[1])
+            rh.start()
+            rm.start()
+            rh.wait()
+            rm.wait()
+            dhbuf[wslot] = dhblk + rhbuf[:]
+            dmbuf[wslot] = dmblk + rmbuf[:]
+
+        @pl.when(b > 0)
+        def _():
+            dhbuf[wslot] = dhblk
+            dmbuf[wslot] = dmblk
+
+        wh = pltpu.make_async_copy(dhbuf.at[wslot],
+                                   dh_hbm.at[pl.ds(start, eb), :],
+                                   wsems.at[wslot, 0])
+        wm = pltpu.make_async_copy(dmbuf.at[wslot],
+                                   dmeta_hbm.at[:, pl.ds(start, eb)],
+                                   wsems.at[wslot, 1])
+        wh.start()
+        wm.start()
+        wh.wait()
+        wm.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, body, 0)
+
+
+def backward_v5(h_src, meta, a_pad, s_dst, cap, receivers, e_real,
+                g, out, denom, num_nodes: int, nh: int, f: int,
+                *, eps: float, slope: float, eb: int, nb: int,
+                with_dropout: bool, interpret: bool):
+    """Returns (d_h rows (E_cols, NHFL), d_drop (NH8, E_cols),
+    d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128))."""
+    e = receivers.shape[0]
+    t = pl.cdiv(num_nodes, nb)
+    n_pad = t * nb
+    nh8 = _round_up(nh, 8)
+    nhf8 = _round_up(nh * f, 8)
+    nhfl = h_src.shape[1]
+    e_cols = h_src.shape[0]
+
+    def node_t(a, rows):
+        a_t = a.T
+        return jnp.pad(a_t, ((0, rows - a_t.shape[0]),
+                             (0, n_pad - a_t.shape[1])))
+
+    g_t = node_t(g, nhf8)
+    out_t = node_t(out, nhf8)
+    denom_t = node_t(denom, nh8)
+    s_dst_t = node_t(s_dst, nh8)
+
+    bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
+    tile_off = jnp.searchsorted(receivers, bounds, side="left"
+                                ).astype(jnp.int32)
+    pref = jnp.concatenate([tile_off, e_real[None].astype(jnp.int32)])
+    zeros_h = jnp.zeros((e_cols, nhfl), jnp.float32)
+    zeros_m = jnp.zeros((nh8, e_cols), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # h_src
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # meta
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # zeros_h
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # zeros_m
+            pl.BlockSpec((nhf8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # g_t
+            pl.BlockSpec((nhf8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # out_t
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # denom_t
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # s_dst_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # a_pad
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # cap
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # d_h
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # d_drop
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # d_sdst
+            pl.BlockSpec((nhfl, nh8), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),              # d_asrc
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),              # d_cap
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, eb, nhfl), h_src.dtype),
+            pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),
+            pltpu.VMEM((2, eb, nhfl), jnp.float32),
+            pltpu.VMEM((2, nh8, eb), jnp.float32),
+            pltpu.VMEM((eb, nhfl), jnp.float32),
+            pltpu.VMEM((nh8, eb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_v5_bwd, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
+        nhfl=nhfl, eps=eps, slope=slope, with_dropout=with_dropout)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((e_cols, nhfl), jnp.float32),
+            jax.ShapeDtypeStruct((nh8, e_cols), jnp.float32),
+            jax.ShapeDtypeStruct((nh8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nhfl, nh8), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        input_output_aliases={3: 0, 4: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 5 * (e + eb) * nb * (nhf8 + nh8),
+            bytes_accessed=(e + eb) * (2 * nhfl + meta.shape[0]
+                                       + nh8) * 4
+            + n_pad * (2 * nhf8 + 2 * nh8) * 4,
+            transcendentals=(e + eb) * nh8),
+        interpret=interpret,
+    )(pref, h_src, meta, zeros_h, zeros_m, g_t, out_t, denom_t,
+      s_dst_t, a_pad, cap.reshape(1, 1))

@@ -236,6 +236,65 @@ def test_table_op_bf16_close(monkeypatch):
     assert g.dtype == jnp.float32 and bool(jnp.isfinite(g).all())
 
 
+@pytest.mark.parametrize("with_dropout", [False, True])
+def test_v5_in_kernel_logits_matches_oracle(with_dropout):
+    """v5 whole-attention op (logits computed IN-KERNEL: s_src from h
+    rows, s_dst tile broadcast, cap + LeakyReLU + softmax + aggregation
+    fused): forward and ALL gradients (h, a_src, s_dst, cap, drop) vs a
+    plain-XLA oracle."""
+    rng = np.random.default_rng(0)
+    n, e_real, pad, nh, f = 256, 1500, 36, 2, 8
+    e = e_real + pad
+    slope = 0.01
+    recv = np.concatenate([np.sort(rng.integers(0, n, e_real)),
+                           np.full(pad, n - 1)]).astype(np.int32)
+    send = np.concatenate([rng.integers(0, n, e_real),
+                           np.full(pad, n - 1)]).astype(np.int32)
+    order = np.argsort(send, kind="stable").astype(np.int32)
+    h = jnp.asarray(rng.normal(size=(n, nh * f)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(nh * f, nh)).astype(np.float32))
+    s_dst = jnp.asarray(rng.normal(size=(n, nh)).astype(np.float32))
+    cap = jnp.float32(0.7)
+    drop = (jnp.asarray((rng.random((e, nh)) > 0.4).astype(np.float32)
+                        / 0.6) if with_dropout else None)
+    sd, rc, od = map(jnp.asarray, (send, recv, order))
+    er = jnp.int32(e_real)
+
+    def oracle(hh, aa, ss, cc, dd):
+        raw = jnp.take(hh, sd, axis=0) @ aa + jnp.take(ss, rc, axis=0)
+        pre = raw - cc
+        ex = jnp.exp(jnp.where(pre >= 0, pre, slope * pre))
+        ex = jnp.where((jnp.arange(e) < e_real)[:, None], ex, 0.0)
+        denom = jax.ops.segment_sum(ex, rc, num_segments=n,
+                                    indices_are_sorted=True)
+        num = ex if dd is None else ex * dd
+        w = jnp.take(hh, sd, axis=0).reshape(e, nh, f) * num[:, :, None]
+        agg = jax.ops.segment_sum(w, rc, num_segments=n,
+                                  indices_are_sorted=True)
+        inv = jnp.where(denom > 0, 1.0 / (denom + 1e-8), 0.0)
+        return (agg * inv[:, :, None]).reshape(n, nh * f)
+
+    def lt(hh, aa, ss, cc, dd):
+        out = fsa.fused_gat_table(hh, aa, ss, cc, dd, sd, rc, od, er,
+                                  n, nh, f, 1e-8, slope, 256, 128, True)
+        return jnp.sum(jnp.sin(out)), out
+
+    def lr(hh, aa, ss, cc, dd):
+        out = oracle(hh, aa, ss, cc, dd)
+        return jnp.sum(jnp.sin(out)), out
+
+    an = (0, 1, 2, 3) + ((4,) if with_dropout else ())
+    (_, ot), gt = jax.value_and_grad(lt, argnums=an, has_aux=True)(
+        h, a_src, s_dst, cap, drop)
+    (_, orr), gr = jax.value_and_grad(lr, argnums=an, has_aux=True)(
+        h, a_src, s_dst, cap, drop)
+    np.testing.assert_allclose(np.asarray(ot), np.asarray(orr),
+                               rtol=1e-5, atol=1e-5)
+    for a, b, nm in zip(gt, gr, ("h", "a_src", "s_dst", "cap", "drop")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5, err_msg=nm)
+
+
 def test_partial_kernel_matches_full():
     num_nodes, num_edges, nh, f = 256, 1500, 2, 8
     logits, h_src, recv = make_edges(num_nodes, num_edges, nh, f, seed=9)
