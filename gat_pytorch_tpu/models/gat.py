@@ -123,6 +123,20 @@ def _split_attention_map(a: jax.Array, nh: int, f: int
     return a_src, a_dst
 
 
+def _take_rows_raw(table, idx):
+    """Row gather via raw lax.gather — jnp.take wraps itself in a nested
+    jit whose cached 'closed_call' lowering hits a KeyError when the
+    same subfunction appears in a custom_vjp primal AND fwd under one
+    scan (observed on-chip, round 2)."""
+    return jax.lax.gather(
+        table, idx[:, None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0,)),
+        slice_sizes=(1, table.shape[1]),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _global_cap(s_src, s_dst, senders, receivers, edge_mask,
                 num_nodes: int, nh: int):
@@ -133,15 +147,15 @@ def _global_cap(s_src, s_dst, senders, receivers, edge_mask,
     through E-sized gathers (whose transposes cost ~360 ms at 5M edges,
     docs/PERF.md r2). Matches jnp.max's VJP except for exact ties
     (measure-zero on real data)."""
-    raw = (jnp.take(s_src, senders, axis=0)
-           + jnp.take(s_dst, receivers, axis=0))
+    raw = (_take_rows_raw(s_src, senders)
+           + _take_rows_raw(s_dst, receivers))
     return jnp.max(jnp.where(edge_mask[:, None], raw, -jnp.inf))
 
 
 def _global_cap_fwd(s_src, s_dst, senders, receivers, edge_mask,
                     num_nodes, nh):
-    raw = (jnp.take(s_src, senders, axis=0)
-           + jnp.take(s_dst, receivers, axis=0))
+    raw = (_take_rows_raw(s_src, senders)
+           + _take_rows_raw(s_dst, receivers))
     masked = jnp.where(edge_mask[:, None], raw, -jnp.inf)
     idx = jnp.argmax(masked)
     cap = masked.ravel()[idx]

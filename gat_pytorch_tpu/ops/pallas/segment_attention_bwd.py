@@ -636,7 +636,12 @@ def _kernel_v5_bwd(pref_ref,
         dasrc_ref[:] += jax.lax.dot_general(
             h_full_t, d_raw, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (NHFL, NH8)
-        dcap_ref[0, 0] += -jnp.sum(d_raw)
+        # scalar accumulate via a full-block masked add (Mosaic rejects
+        # scalar stores to VMEM; interpret mode tolerates them)
+        slot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
+                  & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                     == 0))
+        dcap_ref[:] += jnp.where(slot00, -jnp.sum(d_raw), 0.0)
 
         dmblk = hdotg * ex * invd_e                         # d_drop (NH8,EB)
 
