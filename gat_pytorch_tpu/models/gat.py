@@ -147,16 +147,24 @@ def _global_cap(s_src, s_dst, senders, receivers, edge_mask,
     through E-sized gathers (whose transposes cost ~360 ms at 5M edges,
     docs/PERF.md r2). Matches jnp.max's VJP except for exact ties
     (measure-zero on real data)."""
+    # no jnp.where/jnp.take here: their nested jit(_where)/jit(_take)
+    # closed_calls hit a lowering-cache KeyError when the identical
+    # subfunction appears in the custom_vjp primal and fwd (on-chip, r2)
     raw = (_take_rows_raw(s_src, senders)
            + _take_rows_raw(s_dst, receivers))
-    return jnp.max(jnp.where(edge_mask[:, None], raw, -jnp.inf))
+    masked = jax.lax.select(
+        jnp.broadcast_to(edge_mask[:, None], raw.shape), raw,
+        jnp.full_like(raw, -1e30))
+    return jnp.max(masked)
 
 
 def _global_cap_fwd(s_src, s_dst, senders, receivers, edge_mask,
                     num_nodes, nh):
     raw = (_take_rows_raw(s_src, senders)
            + _take_rows_raw(s_dst, receivers))
-    masked = jnp.where(edge_mask[:, None], raw, -jnp.inf)
+    masked = jax.lax.select(
+        jnp.broadcast_to(edge_mask[:, None], raw.shape), raw,
+        jnp.full_like(raw, -1e30))
     idx = jnp.argmax(masked)
     cap = masked.ravel()[idx]
     return cap, (senders, receivers, idx)
