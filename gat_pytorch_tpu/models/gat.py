@@ -268,9 +268,15 @@ def gat_layer_apply(params: Params,
     # LeakyReLU + softmax + aggregation in one pass; the cap itself is
     # the only remaining edge-space op (forward-only gathers + a sparse
     # one-element gradient).
-    if (_resolve_backend(backend) == "pallas" and not return_attention
+    import os as _os
+    if (_os.environ.get("GAT_TPU_V5", "0") == "1"
+            and _resolve_backend(backend) == "pallas"
+            and not return_attention
             and edge_axis is None and not cfg.paper_faithful
             and not cfg.const_attention and src_order is not None):
+        # v5 whole-fusion is OPT-IN while an on-chip device fault at
+        # Cora shapes is being chased (math verified vs oracle on CPU;
+        # see docs/PERF.md r2)
         from ..utils.platform import is_tpu_backend
         interpret = not is_tpu_backend()
         a_src, a_dst = _split_attention_map(params["a"], nh, f)
