@@ -969,10 +969,12 @@ def _forward_v5(h_src, meta, a_pad, s_dst, cap, receivers, e_real,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # h_src
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # meta
-            pl.BlockSpec(memory_space=pltpu.VMEM),             # a_pad
+            pl.BlockSpec((nhfl, nh8), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),             # a_pad
             pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),             # s_dst_t
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # cap
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),             # cap
         ],
         out_specs=pl.BlockSpec((nhf8 + nh8, nb), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),

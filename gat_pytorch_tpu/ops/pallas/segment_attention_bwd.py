@@ -725,8 +725,10 @@ def backward_v5(h_src, meta, a_pad, s_dst, cap, receivers, e_real,
                          memory_space=pltpu.VMEM),              # denom_t
             pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),              # s_dst_t
-            pl.BlockSpec(memory_space=pltpu.VMEM),              # a_pad
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # cap
+            pl.BlockSpec((nhfl, nh8), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),              # a_pad
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),              # cap
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # d_h
