@@ -326,8 +326,10 @@ def gat_layer_apply(params: Params,
         # sorted; senders route through src_order when available.
         # Custom-vjp gathers trip shard_map's varying-axes machinery
         # (pvary on already-varying cotangents), so the cut-neighbourhood
-        # sharded path (check_vma=True) keeps the plain takes.
-        sg = edge_axis is None or dst_owned
+        # sharded path (check_vma=True) keeps the plain takes. Small
+        # graphs keep them too: the extra permute+reduce ops cost more
+        # than a 13k-edge scatter (Cora bench -15%).
+        sg = (edge_axis is None or dst_owned) and E >= 200_000
         s_src_e = (seg.gather_rows_sorted_grad(s_src, senders, num_nodes,
                                                src_order)
                    if sg and src_order is not None
@@ -467,7 +469,7 @@ def gat_layer_apply(params: Params,
     #     — reference :119-127
     src_feats = (seg.gather_rows_sorted_grad(h, senders, num_nodes,
                                              src_order)
-                 if src_order is not None
+                 if src_order is not None and E >= 200_000
                  and (edge_axis is None or dst_owned)
                  else seg.gather_rows(h, senders))           # (E, NH, F)
     weighted = src_feats * alpha_drop[:, :, None]

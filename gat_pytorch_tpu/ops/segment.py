@@ -171,7 +171,7 @@ def segment_softmax(logits: jax.Array,
     # gather's transpose can be a sorted reduction too. Under shard_map's
     # varying-axes checker the custom-vjp gather trips pvary typing —
     # keep the plain take there (models/gat.py rationale).
-    if edge_axis is None:
+    if edge_axis is None and segment_ids.shape[0] >= 200_000:
         denom_per_edge = gather_rows_sorted_grad(denom, segment_ids,
                                                  num_segments)
     else:
