@@ -295,7 +295,7 @@ def gat_layer_apply(params: Params,
         out = fsa.fused_gat_table(
             h_flat, a_src, s_dst_n, cap, drop_mask, senders, receivers,
             src_order, e_real, num_nodes, nh, f, 1e-8, cfg.slope,
-            1024, 256, interpret)
+            256, 128, interpret)  # eb=1024 wedges the v5e (docs/PERF.md)
         if cfg.concat:
             out = out.reshape(num_nodes, nh * f)
         else:

@@ -626,8 +626,14 @@ def _kernel_v5_bwd(pref_ref,
         d_h_att = jax.lax.dot_general(
             a_src_t, d_raw, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (NHFL, EB)
-        d_h_full = jnp.concatenate(
-            [d_h_att[:nhf8] + d_h_feat, d_h_att[nhf8:]], axis=0)
+        if nhf8 == nhfl:
+            # no lane padding (nhf already a 128-multiple): the [nhf8:]
+            # tail would be a zero-row slice, which Mosaic rejects
+            # ("vector types must have positive constant sizes")
+            d_h_full = d_h_att + d_h_feat
+        else:
+            d_h_full = jnp.concatenate(
+                [d_h_att[:nhf8] + d_h_feat, d_h_att[nhf8:]], axis=0)
         dhblk = d_h_full.T                                  # (EB, NHFL)
 
         dsdst_ref[:] += jax.lax.dot_general(

@@ -237,13 +237,17 @@ def test_table_op_bf16_close(monkeypatch):
 
 
 @pytest.mark.parametrize("with_dropout", [False, True])
-def test_v5_in_kernel_logits_matches_oracle(with_dropout):
+@pytest.mark.parametrize("nh,f", [(2, 8), (8, 16)])
+def test_v5_in_kernel_logits_matches_oracle(with_dropout, nh, f):
     """v5 whole-attention op (logits computed IN-KERNEL: s_src from h
     rows, s_dst tile broadcast, cap + LeakyReLU + softmax + aggregation
     fused): forward and ALL gradients (h, a_src, s_dst, cap, drop) vs a
-    plain-XLA oracle."""
+    plain-XLA oracle. (8, 16) pins the nhf == nhfl (no lane-pad) case:
+    the backward's pad-tail slice degenerates to zero rows there, which
+    Mosaic rejects — guarded by a static branch (segment_attention_bwd
+    backward_v5 kernel)."""
     rng = np.random.default_rng(0)
-    n, e_real, pad, nh, f = 256, 1500, 36, 2, 8
+    n, e_real, pad = 256, 1500, 36
     e = e_real + pad
     slope = 0.01
     recv = np.concatenate([np.sort(rng.integers(0, n, e_real)),
@@ -291,8 +295,10 @@ def test_v5_in_kernel_logits_matches_oracle(with_dropout):
     np.testing.assert_allclose(np.asarray(ot), np.asarray(orr),
                                rtol=1e-5, atol=1e-5)
     for a, b, nm in zip(gt, gr, ("h", "a_src", "s_dst", "cap", "drop")):
+        # atol covers reduction-order noise of the 128-lane dots at
+        # (8, 16); gradients here are O(1)-O(10)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=2e-5, err_msg=nm)
+                                   rtol=1e-4, atol=1e-4, err_msg=nm)
 
 
 def test_partial_kernel_matches_full():
