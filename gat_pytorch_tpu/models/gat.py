@@ -269,14 +269,19 @@ def gat_layer_apply(params: Params,
     # the only remaining edge-space op (forward-only gathers + a sparse
     # one-element gradient).
     import os as _os
-    if (_os.environ.get("GAT_TPU_V5", "0") == "1"
+    _v5_env = _os.environ.get("GAT_TPU_V5", "auto")
+    _v5_on = (_v5_env == "1"
+              or (_v5_env not in ("0", "off") and E >= 200_000))
+    if (_v5_on
             and _resolve_backend(backend) == "pallas"
             and not return_attention
             and edge_axis is None and not cfg.paper_faithful
             and not cfg.const_attention and src_order is not None):
-        # v5 whole-fusion is OPT-IN while an on-chip device fault at
-        # Cora shapes is being chased (math verified vs oracle on CPU;
-        # see docs/PERF.md r2)
+        # auto mode engages only at >=200k edges: that's the regime where
+        # XLA's narrow (E, NH) gathers/segment-sums dominate; below it
+        # v4.1 wins and small/odd head shapes (e.g. Cora's 1x7 output
+        # layer) stay off the less-exercised kernel. GAT_TPU_V5=1 forces
+        # on at any size, =0 forces off.
         from ..utils.platform import is_tpu_backend
         interpret = not is_tpu_backend()
         a_src, a_dst = _split_attention_map(params["a"], nh, f)
