@@ -260,36 +260,35 @@ def gat_layer_apply(params: Params,
                          preferred_element_type=jnp.float32)
     h = h_flat.reshape(num_nodes, nh, f)
 
-    # ---- v5 whole-attention fusion (in-kernel logits) -------------------
+    # ---- v5 whole-attention fusion (in-kernel logits + cap) -------------
     # default reference-quirk mode, single device: NO (E, NH) edge array
     # is ever materialised in XLA (their gathers/reductions are the TPU
     # pathology — docs/PERF.md r2). The kernel computes s_src from the
     # gathered h rows, broadcasts s_dst per dst tile, applies cap +
-    # LeakyReLU + softmax + aggregation in one pass; the cap itself is
-    # the only remaining edge-space op (forward-only gathers + a sparse
-    # one-element gradient).
+    # LeakyReLU + softmax + aggregation in one pass; the global max-cap
+    # itself comes from an in-kernel pre-pass over the same row table
+    # (the XLA cap cost two row-rate-bound gathers: 56-130 ms per layer
+    # at 5M edges).
     import os as _os
     _v5_env = _os.environ.get("GAT_TPU_V5", "auto")
     _v5_on = (_v5_env == "1"
-              or (_v5_env not in ("0", "off") and E >= 200_000))
+              or (_v5_env not in ("0", "off") and E >= 4096))
     if (_v5_on
             and _resolve_backend(backend) == "pallas"
             and not return_attention
             and edge_axis is None and not cfg.paper_faithful
             and not cfg.const_attention and src_order is not None):
-        # auto mode engages only at >=200k edges: that's the regime where
-        # XLA's narrow (E, NH) gathers/segment-sums dominate; below it
-        # v4.1 wins and small/odd head shapes (e.g. Cora's 1x7 output
-        # layer) stay off the less-exercised kernel. GAT_TPU_V5=1 forces
-        # on at any size, =0 forces off.
+        # auto mode engages from 4096 edges: every dataset family's head
+        # shapes (8x8, 1x7, 8x16, 4x256, 6x121) is hardware-validated and
+        # v5 beat v4.1 on the smallest real workload (Cora, 13k edges:
+        # 23.4M -> 32.2M edges/s). Sub-4k graphs stay on v4.1 (per-call
+        # kernel overhead dominates there). GAT_TPU_V5=1 forces on at any
+        # size, =0 forces off.
         from ..utils.platform import is_tpu_backend
         interpret = not is_tpu_backend()
         a_src, a_dst = _split_attention_map(params["a"], nh, f)
-        s_both = jnp.dot(h_flat, jnp.concatenate([a_src, a_dst], 1),
-                         preferred_element_type=jnp.float32)
-        s_src_n, s_dst_n = s_both[:, :nh], s_both[:, nh:]
-        cap = _global_cap(s_src_n, s_dst_n, senders, receivers,
-                          edge_mask, num_nodes, nh)
+        s_dst_n = jnp.dot(h_flat, a_dst,
+                          preferred_element_type=jnp.float32)
         drop_mask = None
         if training and cfg.dropout > 0.0:
             if rng is None:
@@ -297,8 +296,8 @@ def gat_layer_apply(params: Params,
             keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, (E, nh))
             drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
         e_real = jnp.sum(edge_mask).astype(jnp.int32)
-        out = fsa.fused_gat_table(
-            h_flat, a_src, s_dst_n, cap, drop_mask, senders, receivers,
+        out = fsa.fused_gat_table_autocap(
+            h_flat, a_src, s_dst_n, drop_mask, senders, receivers,
             src_order, e_real, num_nodes, nh, f, 1e-8, cfg.slope,
             256, 128, interpret)  # eb=1024 wedges the v5e (docs/PERF.md)
         if cfg.concat:

@@ -1071,3 +1071,246 @@ def _fgt_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret, res, g):
 
 
 fused_gat_table.defvjp(_fgt_fwd, _fgt_bwd)
+
+
+# --------------------------------------------------------------------------
+# v5 autocap: the global pre-LeakyReLU logit max (reference
+# models/gat_layer.py:84-85) computed IN-KERNEL as a pre-pass over the
+# same gathered row table the main v5 kernel streams. The XLA
+# formulation (_global_cap in models/gat.py) costs two row-rate-bound
+# narrow gathers plus an (E, NH) mask/max — ~10-25 ms per layer at 5M
+# edges; this pass is one extra HBM read of the table (~3 ms) and
+# returns the argmax (edge, head) code so the cap's sparse gradient
+# stays two one-element scatters.
+# --------------------------------------------------------------------------
+
+_I32_MAX = np.int32(2 ** 31 - 1)
+
+
+def _kernel_v5_cap(pref_ref,          # (T+2,) int32: tile offsets | e_real
+                   h_hbm,             # (E_cols, NHFL) row-major rows
+                   meta_hbm,          # (MR, E_cols): [drop rows?] recv row
+                   a_src_ref,         # (NHFL, NH8) VMEM whole
+                   s_dst_ref,         # (NH8, NB) VMEM per tile
+                   vout_ref,          # (8, 128) f32 per tile: max at [0,0]
+                   cout_ref,          # (8, 128) i32 per tile: code at [0,0]
+                   hbuf, mbuf, sems,
+                   *, eb: int, nb: int, nh: int, nh8: int,
+                   with_dropout: bool):
+    i = pl.program_id(0)
+    lo = (pref_ref[i] // eb) * eb
+    hi = pref_ref[i + 1]
+    t = pl.num_programs(0)
+    e_real = pref_ref[t + 1]
+    nblocks = pl.cdiv(hi - lo, eb)
+
+    a_src_t = a_src_ref[:].astype(jnp.float32)
+
+    def dma_h(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(h_hbm.at[pl.ds(start, eb), :],
+                                     hbuf.at[slot], sems.at[slot, 0])
+
+    def dma_m(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
+                                     mbuf.at[slot], sems.at[slot, 1])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma_h(0, 0).start()
+        dma_m(0, 0).start()
+
+    def body(b, carry):
+        vmax, vcode = carry
+        slot = b % 2
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_h((b + 1) % 2, b + 1).start()
+            dma_m((b + 1) % 2, b + 1).start()
+
+        dma_h(slot, b).wait()
+        dma_m(slot, b).wait()
+
+        start = pl.multiple_of(lo + b * eb, eb)
+        hb = hbuf[slot].astype(jnp.float32)                 # (EB, NHFL)
+        meta = mbuf[slot]
+        recv_at = nh8 if with_dropout else 0
+        recv_row = meta[recv_at:recv_at + 1, :]             # (1, EB) f32
+        rows = (i * nb
+                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                ).astype(jnp.float32)
+        onehot_t = (recv_row == rows).astype(jnp.float32)   # (NB, EB)
+
+        s_src = jax.lax.dot_general(
+            a_src_t, hb, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NH8, EB)
+        s_dst_e = jax.lax.dot_general(
+            s_dst_ref[:], onehot_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NH8, EB)
+        raw = s_src + s_dst_e
+
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
+        head = jax.lax.broadcasted_iota(jnp.int32, (nh8, eb), 0)
+        # a block may overlap the previous tile's edge range (lo is
+        # rounded down); count each edge only in the tile that owns its
+        # destination, else the broadcast s_dst term is wrong
+        in_tile = ((recv_row >= i * nb) & (recv_row < i * nb + nb))
+        valid = (head < nh) & (col < e_real) & in_tile
+        masked = jnp.where(valid, raw, NEG_INF)
+        code = col * nh8 + head                             # (NH8, EB) i32
+        bm = jnp.max(masked)
+        bcode = jnp.min(jnp.where(masked == bm, code, _I32_MAX))
+        tie = jnp.where(bm == vmax, jnp.minimum(bcode, vcode), vcode)
+        return (jnp.maximum(vmax, bm),
+                jnp.where(bm > vmax, bcode, tie))
+
+    vmax, vcode = jax.lax.fori_loop(
+        0, nblocks, body, (jnp.float32(NEG_INF), _I32_MAX * jnp.int32(1)))
+
+    slot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
+              & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0))
+    vout_ref[:] = jnp.where(slot00, vmax, NEG_INF)
+    cout_ref[:] = jnp.where(slot00, vcode, _I32_MAX)
+
+
+def _cap_v5(h_src, meta, a_pad, s_dst, receivers, e_real, num_nodes,
+            nh, *, eb, nb, interpret, with_dropout):
+    """(cap, code): global max of the raw edge logits and its
+    argmax code (edge_index * NH8 + head)."""
+    t = pl.cdiv(num_nodes, nb)
+    n_pad = t * nb
+    nh8 = _round_up(nh, 8)
+    nhfl = h_src.shape[1]
+
+    s_dst_t = jnp.pad(s_dst.T, ((0, nh8 - nh), (0, n_pad - num_nodes)))
+    bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
+    tile_off = jnp.searchsorted(receivers, bounds, side="left"
+                                ).astype(jnp.int32)
+    pref = jnp.concatenate([tile_off, e_real[None].astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # h_src
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # meta
+            pl.BlockSpec((nhfl, nh8), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),             # a_pad
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),             # s_dst_t
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, eb, nhfl), h_src.dtype),
+            pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_v5_cap, eb=eb, nb=nb, nh=nh, nh8=nh8,
+        with_dropout=with_dropout)
+    e = receivers.shape[0]
+    vout, cout = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((8, t * 128), jnp.float32),
+                   jax.ShapeDtypeStruct((8, t * 128), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * (e + eb) * nb * nh8,
+            bytes_accessed=(e + eb) * (nhfl + meta.shape[0]) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(pref, h_src, meta, a_pad, s_dst_t)
+    vals = vout[0].reshape(t, 128)[:, 0]
+    codes = cout[0].reshape(t, 128)[:, 0]
+    cap = jnp.max(vals)
+    code = jnp.min(jnp.where(vals == cap, codes, _I32_MAX))
+    return cap, code
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
+def fused_gat_table_autocap(h_flat, a_src, s_dst, drop_mask,
+                            senders, receivers, src_order, e_real,
+                            num_nodes: int, nh: int, f: int,
+                            eps: float = 1e-8, slope: float = 0.01,
+                            eb: int = 256, nb: int = 128,
+                            interpret: bool = False):
+    """fused_gat_table with the global logit max-cap computed in-kernel
+    (reference models/gat_layer.py:84-85) instead of taken as an
+    argument: a streaming pre-pass over the same gathered row table
+    returns (max, argmax code), and the cap's exact sparse gradient —
+    the summed cotangent lands on the one argmax (edge, head) — is two
+    one-element scatters chained onto the main backward. Ties resolve
+    to the lowest (edge, head) code (jnp.max's VJP splits ties instead;
+    measure-zero on real data)."""
+    out, _ = _fgta_fwd(h_flat, a_src, s_dst, drop_mask, senders,
+                       receivers, src_order, e_real, num_nodes, nh, f,
+                       eps, slope, eb, nb, interpret)
+    return out
+
+
+def _fgta_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
+              src_order, e_real, num_nodes, nh, f, eps, slope, eb, nb,
+              interpret):
+    nh8 = _round_up(nh, 8)
+    h_src, a_pad, _, _, _ = _v5_operands(
+        h_flat, a_src, s_dst, senders, receivers, e_real, nh, f, eb, nb)
+    meta = _pack_meta_v5(drop_mask, receivers, nh8, eb)
+    with_dropout = drop_mask is not None
+    cap, code = _cap_v5(h_src, meta, a_pad, s_dst, receivers, e_real,
+                        num_nodes, nh, eb=eb, nb=nb, interpret=interpret,
+                        with_dropout=with_dropout)
+    out, denom = _forward_v5(
+        h_src, meta, a_pad, s_dst, cap, receivers, e_real, num_nodes,
+        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, interpret=interpret,
+        with_dropout=with_dropout)
+    return out, (h_src, meta, a_pad, s_dst, cap, code, senders,
+                 receivers, src_order, e_real, denom, out, with_dropout)
+
+
+def _fgta_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret, res, g):
+    from .segment_sum import segment_sum_pallas_rows
+    from .segment_attention_bwd import backward_v5
+    (h_src, meta, a_pad, s_dst, cap, code, senders, receivers,
+     src_order, e_real, denom, out, with_dropout) = res
+    e = receivers.shape[0]
+    nh8 = _round_up(nh, 8)
+    d_h_rows, d_drop_t, d_sdst_t, d_apad, d_cap = backward_v5(
+        h_src, meta, a_pad, s_dst, cap, receivers, e_real, g, out, denom,
+        num_nodes, nh, f, eps=eps, slope=slope, eb=eb, nb=nb,
+        with_dropout=with_dropout, interpret=interpret)
+    ext = jnp.arange(e, e + eb, dtype=src_order.dtype)
+    g_sorted = jnp.take(d_h_rows, jnp.concatenate([src_order, ext]),
+                        axis=0)
+    ids_sorted = jnp.take(senders, src_order, axis=0)
+    d_table = segment_sum_pallas_rows(g_sorted, ids_sorted, num_nodes,
+                                      eb=eb, nb=nb, interpret=interpret)
+    d_h_flat = d_table[:, :nh * f]
+    d_a_src = d_apad[:nh * f, :nh]
+    d_s_dst = d_sdst_t[:nh].T[:num_nodes]
+    d_drop = d_drop_t[:nh, :e].T if with_dropout else None
+
+    # cap chain: cap = h[snd*] . a_src[:, h*] + s_dst[rcv*, h*]; route the
+    # (already globally summed) cap cotangent to that one argmax triple
+    dc = d_cap[0, 0]
+    eidx = code // nh8
+    hidx = code % nh8
+    src_star = jnp.take(senders, eidx)
+    dst_star = jnp.take(receivers, eidx)
+    hrow = jnp.take(h_src, eidx, axis=0)[:nh * f].astype(jnp.float32)
+    acol = jnp.take(a_pad, hidx, axis=1)[:nh * f].astype(jnp.float32)
+    d_h_flat = d_h_flat.at[src_star].add(dc * acol)
+    d_a_src = d_a_src.at[:, hidx].add(dc * hrow)
+    d_s_dst = d_s_dst.at[dst_star, hidx].add(dc)
+    return (d_h_flat, d_a_src, d_s_dst, d_drop, None, None, None, None)
+
+
+fused_gat_table_autocap.defvjp(_fgta_fwd, _fgta_bwd)

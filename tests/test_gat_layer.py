@@ -124,6 +124,33 @@ def test_model_stack_matches_oracle_with_skips():
     assert len(att) == 2
 
 
+def test_v5_model_path_matches_default(monkeypatch):
+    """GAT_TPU_V5=1 routes gat_layer_apply through the v5 whole-fusion
+    branch (fused_gat_table, interpret on CPU); the full 2-layer model
+    output must match the default XLA path. Also pins the gate: =0 (and
+    auto below 200k edges) must NOT change the default result."""
+    n, f_in = 60, 12
+    g = make_random_graph(17, n, 4.0, f_in)
+    graph = T.canonicalize(g.x, g.senders, g.receivers)
+    cfg = gat.GATConfig(
+        num_input_node_features=f_in, num_layers=2,
+        num_heads_per_layer=[4, 1], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[f_in, 8, 5], num_classes=5,
+        add_skip_connection=[False, False], dropout=0.0)
+    params = gat.init_gat_model(jax.random.key(2), cfg)
+
+    base = gat.gat_model_apply(params, cfg, graph)
+    monkeypatch.setenv("GAT_TPU_V5", "1")
+    monkeypatch.setenv("GAT_TPU_BACKEND", "pallas")
+    v5 = gat.gat_model_apply(params, cfg, graph)
+    np.testing.assert_allclose(np.asarray(v5), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+    monkeypatch.setenv("GAT_TPU_V5", "0")
+    off = gat.gat_model_apply(params, cfg, graph)
+    np.testing.assert_allclose(np.asarray(off), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_attention_norm_matches_manual():
     n = 30
     g = make_random_graph(13, n, 3.0, 6)

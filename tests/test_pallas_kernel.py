@@ -301,6 +301,77 @@ def test_v5_in_kernel_logits_matches_oracle(with_dropout, nh, f):
                                    rtol=1e-4, atol=1e-4, err_msg=nm)
 
 
+@pytest.mark.parametrize("with_dropout", [False, True])
+@pytest.mark.parametrize("nh,f", [(2, 8), (8, 16), (6, 121)])
+def test_v5_autocap_matches_jnp_max_oracle(with_dropout, nh, f):
+    """fused_gat_table_autocap: the global logit max-cap computed by the
+    in-kernel pre-pass (value + argmax code) must match an oracle that
+    caps with jnp.max and differentiates straight through it. Gradients
+    compared with ABSOLUTE tolerance: d(s_dst) is structurally ~0 here
+    (cap >= all raw logits puts every edge in one LeakyReLU linear
+    region, so a per-segment s_dst shift cancels in the softmax) and a
+    relative metric would just amplify noise."""
+    rng = np.random.default_rng(3)
+    n, e_real, pad = 256, 1500, 36
+    e = e_real + pad
+    slope = 0.01
+    recv = np.concatenate([np.sort(rng.integers(0, n, e_real)),
+                           np.full(pad, n - 1)]).astype(np.int32)
+    send = np.concatenate([rng.integers(0, n, e_real),
+                           np.full(pad, n - 1)]).astype(np.int32)
+    order = np.argsort(send, kind="stable").astype(np.int32)
+    h = jnp.asarray(rng.normal(size=(n, nh * f)).astype(np.float32))
+    a_src = jnp.asarray((rng.normal(size=(nh * f, nh))
+                         / np.sqrt(nh * f)).astype(np.float32))
+    s_dst = jnp.asarray(rng.normal(size=(n, nh)).astype(np.float32))
+    drop = (jnp.asarray((rng.random((e, nh)) > 0.4).astype(np.float32)
+                        / 0.6) if with_dropout else None)
+    sd, rc, od = map(jnp.asarray, (send, recv, order))
+    er = jnp.int32(e_real)
+
+    def auto(hh, aa, ss, dd):
+        return fsa.fused_gat_table_autocap(
+            hh, aa, ss, dd, sd, rc, od, er, n, nh, f, 1e-8, slope,
+            256, 128, True)
+
+    def oracle(hh, aa, ss, dd):
+        raw = jnp.take(hh, sd, axis=0) @ aa + jnp.take(ss, rc, axis=0)
+        mask = (jnp.arange(e) < e_real)[:, None]
+        cap = jnp.max(jnp.where(mask, raw, -1e30))
+        pre = raw - cap
+        ex = jnp.exp(jnp.where(pre >= 0, pre, slope * pre)) * mask
+        denom = jax.ops.segment_sum(ex, rc, num_segments=n,
+                                    indices_are_sorted=True)
+        num = ex if dd is None else ex * dd
+        w = jnp.take(hh, sd, axis=0).reshape(e, nh, f) * num[:, :, None]
+        agg = jax.ops.segment_sum(w, rc, num_segments=n,
+                                  indices_are_sorted=True)
+        inv = jnp.where(denom > 0, 1.0 / (denom + 1e-8), 0.0)
+        return (agg * inv[:, :, None]).reshape(n, nh * f)
+
+    an = (0, 1, 2) + ((3,) if with_dropout else ())
+
+    def lt(*a):
+        o = auto(*a)
+        return jnp.sum(jnp.sin(o)), o
+
+    def lr(*a):
+        o = oracle(*a)
+        return jnp.sum(jnp.sin(o)), o
+
+    (_, ot), gt = jax.value_and_grad(lt, argnums=an, has_aux=True)(
+        h, a_src, s_dst, drop)
+    (_, orr), gr = jax.value_and_grad(lr, argnums=an, has_aux=True)(
+        h, a_src, s_dst, drop)
+    np.testing.assert_allclose(np.asarray(ot), np.asarray(orr),
+                               rtol=1e-5, atol=1e-5)
+    for a, b, nm in zip(gt, gr, ("h", "a_src", "s_dst", "drop")):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=2e-5, err_msg=nm)
+
+
 def test_partial_kernel_matches_full():
     num_nodes, num_edges, nh, f = 256, 1500, 2, 8
     logits, h_src, recv = make_edges(num_nodes, num_edges, nh, f, seed=9)
