@@ -296,10 +296,16 @@ def gat_layer_apply(params: Params,
             keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, (E, nh))
             drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
         e_real = jnp.sum(edge_mask).astype(jnp.int32)
+        # block sizes by feature width: 512/256 measured 23% faster than
+        # 256/128 at 1M edges (docs/PERF.md r2 sweep); wide rows (PPI's
+        # nhf=1024) keep the smaller blocks to bound VMEM double-buffers.
+        # eb=1024 wedges the v5e — never raise past 512.
+        nhfl = ((nh * f + 127) // 128) * 128
+        v5_eb, v5_nb = (512, 256) if nhfl <= 512 else (256, 128)
         out = fsa.fused_gat_table_autocap(
             h_flat, a_src, s_dst_n, drop_mask, senders, receivers,
             src_order, e_real, num_nodes, nh, f, 1e-8, cfg.slope,
-            256, 128, interpret)  # eb=1024 wedges the v5e (docs/PERF.md)
+            v5_eb, v5_nb, interpret)
         if cfg.concat:
             out = out.reshape(num_nodes, nh * f)
         else:
