@@ -29,6 +29,10 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--nodes", type=int, default=4096)
     ap.add_argument("--deg", type=int, default=8)
+    ap.add_argument("--dst_owned", action="store_true",
+                    help="boundary-free dst-owner layout (with "
+                         "GAT_TPU_V5=1 this compiles the sharded v5 "
+                         "whole-fusion branch)")
     args = ap.parse_args(argv)
 
     import jax
@@ -57,6 +61,10 @@ def main(argv=None) -> int:
     x = rng.normal(size=(n, 64)).astype(np.float32)
     y = (rng.random((n, 8)) > 0.5).astype(np.float32)
     g = T.canonicalize(x, senders, receivers, y=y)
+    if args.dst_owned:
+        from gat_pytorch_tpu.parallel.partition import partition_edges_by_dst
+        g, _ = partition_edges_by_dst(g, len(jax.devices()),
+                                      pad_multiple=64)
     batch = parallel.stack_graphs([g])
 
     cfg = gat.GATConfig(
@@ -72,7 +80,8 @@ def main(argv=None) -> int:
                    rng=jax.random.key(1), step=jnp.int32(0)), mesh)
     sb = parallel.put_batch(batch, mesh)
 
-    step = parallel.make_sharded_train_step(cfg, task, tx, mesh)
+    step = parallel.make_sharded_train_step(cfg, task, tx, mesh,
+                                            dst_owned=args.dst_owned)
     t0 = time.perf_counter()
     state, mets = step(state, sb)
     jax.block_until_ready(mets)
@@ -88,6 +97,8 @@ def main(argv=None) -> int:
     edges = g.num_edges
     print(json.dumps({
         "check": "sharded_pallas_compiled_train_step",
+        "layout": "dst_owned" if args.dst_owned else "cut_neighbourhood",
+        "v5": os.environ.get("GAT_TPU_V5", "auto"),
         "mesh": dict(mesh.shape),
         "compile_s": round(compile_s, 1),
         "ms_per_step": round(dt * 1e3, 3),

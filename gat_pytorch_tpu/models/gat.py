@@ -314,6 +314,66 @@ def gat_layer_apply(params: Params,
             out = out + params["bias"]
         return out
 
+    # ---- v5 on the dst-owner sharded layout -----------------------------
+    # each shard owns whole dst segments (parallel/partition.py), so the
+    # whole-fusion kernel runs per shard over its LOCAL dst rows with
+    # shard-local receivers; the reference's GLOBAL cap is assembled from
+    # per-shard kernel maxes via the pmax/psum owner trick (exact sparse
+    # gradient on the owner shard), and one tiled all_gather assembles
+    # the layer output — same collective budget as the v4 dst_owned path.
+    if (_v5_on
+            and edge_axis is not None and dst_owned
+            and _resolve_backend(backend) == "pallas"
+            and not return_attention and not cfg.paper_faithful
+            and not cfg.const_attention and src_order is not None):
+        from ..utils.platform import is_tpu_backend
+        interpret = not is_tpu_backend()
+        k = jax.lax.axis_size(edge_axis)
+        rows = num_nodes // k
+        shard_lo = jax.lax.axis_index(edge_axis) * rows
+        recv_local = receivers - shard_lo
+        a_src, a_dst = _split_attention_map(params["a"], nh, f)
+        h_local = jax.lax.dynamic_slice_in_dim(h_flat, shard_lo, rows, 0)
+        s_dst_local = jnp.dot(h_local, a_dst,
+                              preferred_element_type=jnp.float32)
+        e_real = jnp.sum(edge_mask).astype(jnp.int32)
+        nhfl = ((nh * f + 127) // 128) * 128
+        v5_eb, v5_nb = (512, 256) if nhfl <= 512 else (256, 128)
+        local_cap = fsa.v5_local_cap(
+            h_flat, a_src, s_dst_local, senders, recv_local, e_real,
+            rows, nh, f, v5_eb, v5_nb, interpret)
+        # global cap via psum-owner routing (same rationale as the XLA
+        # path above: pmax is non-differentiable; the psum transpose
+        # delivers the globally summed cotangent to the owner's local
+        # max, whose sparse VJP lands it on the argmax logit)
+        local_sg = jax.lax.stop_gradient(local_cap)
+        global_max = jax.lax.pmax(local_sg, edge_axis)
+        idx = jax.lax.axis_index(edge_axis)
+        cand = jnp.where(local_sg >= global_max, idx,
+                         jax.lax.axis_size(edge_axis))
+        owner = idx == jax.lax.pmin(cand, edge_axis)
+        cap = jax.lax.psum(jnp.where(owner, local_cap, 0.0), edge_axis)
+        drop_mask = None
+        if training and cfg.dropout > 0.0:
+            if rng is None:
+                raise ValueError("rng required for attention dropout")
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(edge_axis))
+            keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, (E, nh))
+            drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
+        out_local = fsa.fused_gat_table(
+            h_flat, a_src, s_dst_local, cap, drop_mask, senders,
+            recv_local, src_order, e_real, rows, nh, f, 1e-8, cfg.slope,
+            v5_eb, v5_nb, interpret, num_nodes)
+        out = jax.lax.all_gather(out_local, edge_axis, axis=0,
+                                 tiled=True)
+        if cfg.concat:
+            out = out.reshape(num_nodes, nh * f)
+        else:
+            out = jnp.mean(out.reshape(num_nodes, nh, f), axis=1)
+        if cfg.bias:
+            out = out + params["bias"]
+        return out
+
     # (2) edge logits (SDDMM) — reference :70-92, decomposed to node scores
     if cfg.const_attention:
         logits = jnp.zeros((E, nh), dtype=h_flat.dtype)

@@ -1004,13 +1004,14 @@ def _forward_v5(h_src, meta, a_pad, s_dst, cap, receivers, e_real,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16))
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17))
 def fused_gat_table(h_flat, a_src, s_dst, cap, drop_mask,
                     senders, receivers, src_order, e_real,
                     num_nodes: int, nh: int, f: int,
                     eps: float = 1e-8, slope: float = 0.01,
                     eb: int = 1024, nb: int = 256,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    num_src_nodes: int | None = None):
     """Whole-attention fused op, logits computed IN-KERNEL:
 
         out[n] = sum_e 1[recv_e = n] drop_e ex_e h[send_e] / (D[n]+eps)
@@ -1022,16 +1023,19 @@ def fused_gat_table(h_flat, a_src, s_dst, cap, drop_mask,
     as per-tile node reductions, and d(a_src)/d(cap) as VMEM-accumulated
     outputs. e_real: dynamic count of real (non-padding) edges —
     canonicalisation guarantees padding edges are the array tail.
+    num_src_nodes: row count of h_flat when it differs from num_nodes —
+    the dst-owner sharded layout gathers from the full replicated node
+    table while reducing only this shard's dst rows (models/gat.py).
     """
     out, _ = _fgt_fwd(h_flat, a_src, s_dst, cap, drop_mask, senders,
                       receivers, src_order, e_real, num_nodes, nh, f,
-                      eps, slope, eb, nb, interpret)
+                      eps, slope, eb, nb, interpret, num_src_nodes)
     return out
 
 
 def _fgt_fwd(h_flat, a_src, s_dst, cap, drop_mask, senders, receivers,
              src_order, e_real, num_nodes, nh, f, eps, slope, eb, nb,
-             interpret):
+             interpret, num_src_nodes=None):
     nh8 = _round_up(nh, 8)
     h_src, a_pad, _, _, _ = _v5_operands(
         h_flat, a_src, s_dst, senders, receivers, e_real, nh, f, eb, nb)
@@ -1044,7 +1048,8 @@ def _fgt_fwd(h_flat, a_src, s_dst, cap, drop_mask, senders, receivers,
                  src_order, e_real, denom, out, drop_mask is not None)
 
 
-def _fgt_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret, res, g):
+def _fgt_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret,
+             num_src_nodes, res, g):
     from .segment_sum import segment_sum_pallas_rows
     from .segment_attention_bwd import backward_v5
     (h_src, meta, a_pad, s_dst, cap, senders, receivers, src_order,
@@ -1055,13 +1060,17 @@ def _fgt_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret, res, g):
         h_src, meta, a_pad, s_dst, cap, receivers, e_real, g, out, denom,
         num_nodes, nh, f, eps=eps, slope=slope, eb=eb, nb=nb,
         with_dropout=with_dropout, interpret=interpret)
-    # d(h): row-major cotangent -> sorted scatter (no narrow arrays)
+    # d(h): row-major cotangent -> sorted scatter (no narrow arrays);
+    # the table covers num_src_nodes rows (== num_nodes unless the
+    # dst-owner sharded layout gathers from the full replicated table)
     ext = jnp.arange(e, e + eb, dtype=src_order.dtype)
     g_sorted = jnp.take(d_h_rows, jnp.concatenate([src_order, ext]),
                         axis=0)
     ids_sorted = jnp.take(senders, src_order, axis=0)
-    d_table = segment_sum_pallas_rows(g_sorted, ids_sorted, num_nodes,
-                                      eb=eb, nb=nb, interpret=interpret)
+    d_table = segment_sum_pallas_rows(
+        g_sorted, ids_sorted,
+        num_nodes if num_src_nodes is None else num_src_nodes,
+        eb=eb, nb=nb, interpret=interpret)
     d_h_flat = d_table[:, :nh * f]
     d_a_src = d_apad[:nh * f, :nh]
     d_s_dst = d_sdst_t[:nh].T[:num_nodes]
@@ -1314,3 +1323,52 @@ def _fgta_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret, res, g):
 
 
 fused_gat_table_autocap.defvjp(_fgta_fwd, _fgta_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def v5_local_cap(h_flat, a_src, s_dst, senders, receivers, e_real,
+                 num_nodes: int, nh: int, f: int,
+                 eb: int = 256, nb: int = 128,
+                 interpret: bool = False):
+    """Standalone differentiable edge-logit max over THIS shard's edges
+    (the dst-owner sharded layer composes it with the pmax/psum owner
+    trick into the reference's global cap — models/gat.py). Same
+    streaming pre-pass as fused_gat_table_autocap; the sparse gradient
+    routes the cap cotangent to the one argmax (edge, head):
+    d(h_flat[snd*]) += g * a_src[:, h*], d(a_src[:, h*]) += g * h[snd*],
+    d(s_dst[rcv*, h*]) += g. `receivers` may be shard-local (re-based)
+    ids; `s_dst` covers the same local row range."""
+    cap, _ = _vlc_fwd(h_flat, a_src, s_dst, senders, receivers, e_real,
+                      num_nodes, nh, f, eb, nb, interpret)
+    return cap
+
+
+def _vlc_fwd(h_flat, a_src, s_dst, senders, receivers, e_real,
+             num_nodes, nh, f, eb, nb, interpret):
+    nh8 = _round_up(nh, 8)
+    h_src, a_pad, _, _, _ = _v5_operands(
+        h_flat, a_src, s_dst, senders, receivers, e_real, nh, f, eb, nb)
+    meta = _pack_meta_v5(None, receivers, nh8, eb)
+    cap, code = _cap_v5(h_src, meta, a_pad, s_dst, receivers, e_real,
+                        num_nodes, nh, eb=eb, nb=nb, interpret=interpret,
+                        with_dropout=False)
+    return cap, (h_src, a_pad, senders, receivers, code,
+                 h_flat.shape, s_dst.shape)
+
+
+def _vlc_bwd(num_nodes, nh, f, eb, nb, interpret, res, g):
+    h_src, a_pad, senders, receivers, code, h_shape, s_shape = res
+    nh8 = _round_up(nh, 8)
+    eidx = code // nh8
+    hidx = code % nh8
+    src_star = jnp.take(senders, eidx)
+    dst_star = jnp.take(receivers, eidx)
+    hrow = jnp.take(h_src, eidx, axis=0)[:nh * f].astype(jnp.float32)
+    acol = jnp.take(a_pad, hidx, axis=1)[:nh * f].astype(jnp.float32)
+    d_h = jnp.zeros(h_shape, jnp.float32).at[src_star].add(g * acol)
+    d_a = jnp.zeros((nh * f, nh), jnp.float32).at[:, hidx].add(g * hrow)
+    d_s = jnp.zeros(s_shape, jnp.float32).at[dst_star, hidx].add(g)
+    return (d_h, d_a, d_s, None, None, None)
+
+
+v5_local_cap.defvjp(_vlc_fwd, _vlc_bwd)

@@ -221,6 +221,73 @@ def test_dst_owned_reduces_collective_bytes():
     assert bytes_own < 0.6 * bytes_cut, (bytes_own, bytes_cut)
 
 
+def test_dst_owned_v5_forward_matches_unsharded(monkeypatch):
+    """v5 whole-fusion on the dst-owner layout (GAT_TPU_V5=1 forces the
+    gate at test sizes): per-shard fused_gat_table over local dst rows +
+    in-kernel local cap assembled into the reference's GLOBAL cap via
+    the pmax/psum owner trick == the unsharded model."""
+    from jax.sharding import PartitionSpec as P
+    monkeypatch.setenv("GAT_TPU_V5", "1")
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    cfg = tiny_cfg()
+    g = make_graph(seed=7)
+    g2, _ = partition_edges_by_dst(g, k, pad_multiple=32)
+    params = gat.init_gat_model(jax.random.key(5), cfg)
+    want = gat.gat_model_apply(params, cfg, g, training=False,
+                               backend="xla")
+
+    def body(p, graph):
+        return gat.gat_model_apply(p, cfg, graph, training=False,
+                                   edge_axis="edge", dst_owned=True,
+                                   backend="pallas")
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), _specs_for(g2)), out_specs=P(),
+        check_vma=False))(params, g2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dst_owned_v5_grads_match_unsharded(monkeypatch):
+    """Gradients through the sharded v5 path (local cap sparse VJP +
+    owner-psum global cap + per-shard kernel backward + all_gather) ==
+    unsharded XLA gradients, under the dst_owned 1/K + psum AD
+    correction."""
+    from jax.sharding import PartitionSpec as P
+    monkeypatch.setenv("GAT_TPU_V5", "1")
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    cfg = tiny_cfg()
+    g = make_graph(seed=8)
+    g2, _ = partition_edges_by_dst(g, k, pad_multiple=32)
+    params = gat.init_gat_model(jax.random.key(6), cfg)
+
+    def loss_of(p, graph, ea, do, backend):
+        out = gat.gat_model_apply(p, cfg, graph, training=False,
+                                  edge_axis=ea, dst_owned=do,
+                                  backend=backend)
+        return jnp.mean(out ** 2)
+
+    want = jax.grad(loss_of)(params, g, None, False, "xla")
+
+    def body(p, graph):
+        def scaled(p):
+            return loss_of(p, graph, "edge", True,
+                           "pallas") / jax.lax.axis_size("edge")
+        return jax.lax.psum(jax.grad(scaled)(p), "edge")
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), _specs_for(g2)), out_specs=P(),
+        check_vma=False))(params, g2)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got),
+            jax.tree_util.tree_leaves_with_path(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_fit_sharded_dst_owned_end_to_end():
     """Trainer.fit_sharded(dst_owned=True): partitions batches, trains,
     loss decreases — the boundary-free layout as a one-flag option."""
