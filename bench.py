@@ -85,6 +85,28 @@ def roofline_edges_per_s(num_nodes: int, num_edges: int, cfg) -> float:
     return cfg.num_layers * num_edges / seconds_per_step
 
 
+def roofline_tile_edges_per_s(num_nodes: int, num_edges: int,
+                              cfg) -> float:
+    """Achievable-floor edges/s: the idealized model above charges the
+    node->edge crossings at payload bytes, but a random row access on
+    TPU costs a full (8, 128) f32 tile (4 KB) regardless of payload
+    (docs/PERF.md round-2 close). Each layer's step pays two such
+    crossings (forward node->edge gather, backward d_h permute of the
+    row cotangents back to src-sorted order); everything else streams
+    at payload bytes."""
+    bw = hbm_bandwidth_bytes_per_s()
+    total = 0.0
+    heads = [1] + list(cfg.num_heads_per_layer)
+    for i in range(cfg.num_layers):
+        nh = heads[i + 1]
+        f = cfg.head_output_features_per_layer[i + 1]
+        payload = 3.0 * (num_edges * (2 * nh * f + 3 * nh) * 4
+                         + num_nodes * (2 * nh * f) * 4)
+        crossings = 2 * num_edges * 4096
+        total += payload + crossings
+    return cfg.num_layers * num_edges / (total / bw)
+
+
 def measure_train_step(cfg, graph, task, lr, l2, inner, iters,
                        seed=0) -> float:
     """Median-free steady-state seconds/step of the scanned train step."""
@@ -187,6 +209,8 @@ def main() -> None:
         "vs_baseline": round(edges_per_s / float(os.environ.get(
             "GAT_TPU_XLA_BASELINE", XLA_BASELINE_EDGES_PER_S)), 4),
         "sol_fraction": round(edges_per_s / sol, 4),
+        "sol_tile": round(edges_per_s / roofline_tile_edges_per_s(
+            n_real, e_real, cfg), 4),
     }
 
     if not args.skip_scale:
@@ -201,6 +225,8 @@ def main() -> None:
         out["scale_edges_per_s"] = round(eps2, 1)
         out["scale_sol_fraction"] = round(
             eps2 / roofline_edges_per_s(n2, e2, cfg2), 4)
+        out["scale_sol_tile"] = round(
+            eps2 / roofline_tile_edges_per_s(n2, e2, cfg2), 4)
 
     print(json.dumps(out))
 
