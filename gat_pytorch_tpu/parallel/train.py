@@ -101,9 +101,14 @@ def make_sharded_train_step(cfg: gat.GATConfig, task: Task, tx,
         # axes — grads leave value_and_grad already fully reduced.
         # dst_owned (check_vma=False): grads are per-shard 1/K-scaled
         # mixtures (see per_graph_loss) completed by one psum over edge;
-        # the reported loss un-scales the same way.
+        # the reported loss un-scales the same way. The DATA-axis mean
+        # also needs an explicit grad psum here — nothing crosses the
+        # data axis inside the loss, so each data shard's grads cover
+        # only its own graphs' 1/b_global contributions (check_vma=True
+        # delivered this reduction via the invariant->varying
+        # transpose; without it params would silently fork per device).
         if dst_owned:
-            grads = jax.lax.psum(grads, EDGE_AXIS)
+            grads = jax.lax.psum(grads, (EDGE_AXIS, DATA_AXIS))
             loss = jax.lax.psum(loss, EDGE_AXIS)
         loss = jax.lax.psum(loss, DATA_AXIS)
         norm = jax.lax.psum(norm, DATA_AXIS)

@@ -288,6 +288,61 @@ def test_dst_owned_v5_grads_match_unsharded(monkeypatch):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_dst_owned_data_parallel_grads_reduce_over_data_axis():
+    """dst_owned on a data=2 mesh with DIFFERENT graphs per data shard:
+    check_vma=False means nothing reduces gradients over the data axis
+    automatically — the step must psum over BOTH axes or per-device
+    params silently fork (regression: round-2 review finding)."""
+    import optax
+    mesh = parallel.make_mesh(data=2, edge=2, devices=jax.devices()[:4])
+    cfg = tiny_cfg()
+    task = make_task("PPI")
+    tx = optax.sgd(1e-1)
+    params = gat.init_gat_model(jax.random.key(7), cfg)
+    rng = jax.random.key(8)
+
+    graphs = [make_graph(seed=20), make_graph(seed=21)]
+    from gat_pytorch_tpu.parallel.partition import partition_batches
+    parts, _ = partition_batches(graphs, 2, pad_multiple=32)
+    batch = parallel.stack_graphs(parts)
+
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       rng=rng, step=jnp.int32(0))
+    step = parallel.make_sharded_train_step(cfg, task, tx, mesh,
+                                            dst_owned=True)
+    state_s, mets = step(parallel.replicated(state, mesh),
+                         parallel.put_batch(batch, mesh))
+
+    # params must stay bitwise-replicated across every device
+    for leaf in jax.tree_util.tree_leaves(state_s.params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(s, shards[0])
+
+    # and match the unsharded mean-over-graphs step
+    _, sub = jax.random.split(rng)
+
+    def loss_fn(p):
+        total = 0.0
+        for j, g in enumerate(graphs):
+            key = jax.random.fold_in(sub, j)
+            logits = gat.gat_model_apply(p, cfg, g, rng=key,
+                                         training=True)
+            total = total + task.loss(logits, g, "train")
+        return total / len(graphs)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(mets["train_loss"]),
+                               float(loss_ref), rtol=1e-5)
+    updates, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = jax.tree_util.tree_map(lambda a, b: a + b, params,
+                                        updates)
+    for a, b in zip(jax.tree_util.tree_leaves(state_s.params),
+                    jax.tree_util.tree_leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_fit_sharded_dst_owned_end_to_end():
     """Trainer.fit_sharded(dst_owned=True): partitions batches, trains,
     loss decreases — the boundary-free layout as a one-flag option."""
