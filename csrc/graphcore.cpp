@@ -11,6 +11,7 @@
 //
 // Build: make -C csrc   (produces gat_pytorch_tpu/graph/_graphcore.so)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <random>
@@ -134,6 +135,79 @@ int64_t gc_sample_neighbors(const int64_t* offsets, const int64_t* senders,
     }
   }
   return w;
+}
+
+// Reverse Cuthill-McKee ordering over the SYMMETRISED adjacency of the
+// edge list: BFS from a minimum-degree root per component, neighbours
+// visited in ascending-degree order, final labelling reversed. Minimises
+// the bandwidth max|new(src)-new(dst)| so that dst-sorted edge tiles read
+// src rows from a narrow window — the enabler for the windowed (VMEM-
+// resident) node->edge gather kernels (docs/PERF.md round-2 close: a
+// random row gather costs a full 4 KB tile per edge; a banded one streams).
+// out_order[i] = old node id placed at new position i. Self-loops ignored.
+void gc_rcm_order(const int64_t* senders, const int64_t* receivers,
+                  int64_t e, int64_t n, int64_t* out_order) {
+  // symmetric CSR (each non-loop edge contributes both directions)
+  std::vector<int64_t> deg(static_cast<size_t>(n) + 1, 0);
+  for (int64_t i = 0; i < e; ++i) {
+    if (senders[i] == receivers[i]) continue;
+    deg[senders[i] + 1]++;
+    deg[receivers[i] + 1]++;
+  }
+  std::vector<int64_t> off(deg);
+  for (int64_t v = 0; v < n; ++v) off[v + 1] += off[v];
+  std::vector<int64_t> adj(off[n]);
+  std::vector<int64_t> cur(off.begin(), off.end() - 1);
+  for (int64_t i = 0; i < e; ++i) {
+    if (senders[i] == receivers[i]) continue;
+    adj[cur[senders[i]]++] = receivers[i];
+    adj[cur[receivers[i]]++] = senders[i];
+  }
+  auto degree = [&](int64_t v) { return off[v + 1] - off[v]; };
+
+  // nodes sorted by degree once: BFS roots are taken in this order, and
+  // it doubles as the tie-break-free neighbour ordering base
+  std::vector<int64_t> by_deg(n);
+  for (int64_t v = 0; v < n; ++v) by_deg[v] = v;
+  std::stable_sort(by_deg.begin(), by_deg.end(),
+                   [&](int64_t a, int64_t b) { return degree(a) < degree(b); });
+
+  std::vector<char> seen(n, 0);
+  std::vector<int64_t> queue;
+  queue.reserve(n);
+  std::vector<int64_t> nbrs;
+  int64_t w = 0;
+  for (int64_t root_i = 0; root_i < n; ++root_i) {
+    const int64_t root = by_deg[root_i];
+    if (seen[root]) continue;
+    seen[root] = 1;
+    size_t head = queue.size();
+    queue.push_back(root);
+    while (head < queue.size()) {
+      const int64_t v = queue[head++];
+      out_order[w++] = v;
+      nbrs.clear();
+      for (int64_t j = off[v]; j < off[v + 1]; ++j) {
+        const int64_t u = adj[j];
+        if (!seen[u]) {
+          seen[u] = 1;
+          nbrs.push_back(u);
+        }
+      }
+      // (degree, id) order — matches the numpy spec's unique+argsort
+      std::sort(nbrs.begin(), nbrs.end(),
+                [&](int64_t a, int64_t b) {
+                  const int64_t da = degree(a), db = degree(b);
+                  return da != db ? da < db : a < b;
+                });
+      for (int64_t u : nbrs) queue.push_back(u);
+    }
+  }
+  // reverse (the "R" in RCM: reversing Cuthill-McKee provably never
+  // increases, and usually reduces, the profile)
+  for (int64_t i = 0; i < n / 2; ++i) {
+    std::swap(out_order[i], out_order[n - 1 - i]);
+  }
 }
 
 }  // extern "C"

@@ -31,8 +31,8 @@ import numpy as np
 @partial(jax.tree_util.register_dataclass,
          data_fields=["x", "senders", "receivers", "edge_mask", "node_mask",
                       "y", "train_mask", "val_mask", "test_mask", "graph_ids",
-                      "src_order"],
-         meta_fields=["num_nodes", "num_edges"])
+                      "src_order", "tile_lo", "node_order"],
+         meta_fields=["num_nodes", "num_edges", "src_band"])
 @dataclasses.dataclass(frozen=True)
 class Graph:
     """One (possibly block-diagonal-batched) padded graph.
@@ -67,6 +67,21 @@ class Graph:
     src_order: Optional[jax.Array]
     num_nodes: int
     num_edges: int
+    # -- locality metadata (canonicalize(..., src_windows=True)) ----------
+    # tile_lo: (ceil(N_pad/128),) int32 — min sender id over the real
+    #   edges of each 128-row destination tile (INT32_MAX if empty). The
+    #   windowed-gather kernel derives per-tile DMA window bases from it.
+    # node_order: (N_pad,) int32 — old node id at each new position when
+    #   canonicalize reordered nodes (reorder="rcm"); identity-free None
+    #   otherwise. Lets callers map model outputs back to input ids.
+    # src_band: static int — max, over 512-row destination tiles, of
+    #   (max_src - align8(min_src) + 1) on real edges; 0 = not computed.
+    #   Any window W >= round_up(src_band, 8) covers every tile of any
+    #   block size nb dividing 512 (tiles nest). Part of the jit cache
+    #   key: it gates the windowed kernel path statically.
+    tile_lo: Optional[jax.Array] = None
+    node_order: Optional[jax.Array] = None
+    src_band: int = 0
 
     # -- convenience -------------------------------------------------------
     @property
@@ -112,7 +127,10 @@ def from_numpy(x: np.ndarray,
                edge_mask: Optional[np.ndarray] = None,
                node_mask: Optional[np.ndarray] = None,
                graph_ids: Optional[np.ndarray] = None,
-               src_order: Optional[np.ndarray] = None) -> Graph:
+               src_order: Optional[np.ndarray] = None,
+               tile_lo: Optional[np.ndarray] = None,
+               node_order: Optional[np.ndarray] = None,
+               src_band: int = 0) -> Graph:
     """Wrap host arrays (already canonicalised/padded) into a Graph."""
     n, e = int(x.shape[0]), int(senders.shape[0])
     if edge_mask is None:
@@ -133,4 +151,8 @@ def from_numpy(x: np.ndarray,
         graph_ids=to(graph_ids),
         src_order=None if src_order is None
         else to(src_order.astype(np.int32)),
-        num_nodes=n, num_edges=e)
+        num_nodes=n, num_edges=e,
+        tile_lo=None if tile_lo is None else to(tile_lo.astype(np.int32)),
+        node_order=None if node_order is None
+        else to(node_order.astype(np.int32)),
+        src_band=int(src_band))

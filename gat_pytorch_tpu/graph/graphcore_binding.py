@@ -40,6 +40,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gc_sample_neighbors.argtypes = [
         i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
         i64p, i64p]
+    if hasattr(lib, "gc_rcm_order"):
+        lib.gc_rcm_order.restype = None
+        lib.gc_rcm_order.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p]
     _lib = lib
     return lib
 
@@ -125,6 +129,54 @@ def block_diagonal(senders: np.ndarray, receivers: np.ndarray,
                           _ptr(edge_counts), len(node_counts),
                           _ptr(out_s), _ptr(out_r), _ptr(gids))
     return out_s, out_r, gids
+
+
+def rcm_order(senders: np.ndarray, receivers: np.ndarray,
+              num_nodes: int) -> np.ndarray:
+    """Reverse Cuthill-McKee ordering of the symmetrised adjacency:
+    returns `order` with order[i] = old node id at new position i.
+    Minimises edge bandwidth max|new(u)-new(v)| so dst-sorted edge tiles
+    read source rows from a narrow window (the windowed-gather kernel's
+    precondition). BFS from a min-degree root per component, neighbours
+    in ascending-degree order, labelling reversed."""
+    lib = _load()
+    senders, receivers = _i64(senders), _i64(receivers)
+    if lib is not None and hasattr(lib, "gc_rcm_order"):
+        out = np.empty(num_nodes, dtype=np.int64)
+        lib.gc_rcm_order(_ptr(senders), _ptr(receivers),
+                         senders.shape[0], num_nodes, _ptr(out))
+        return out
+    # numpy spec/fallback (same traversal; tests pin C++ == this)
+    nonloop = senders != receivers
+    s, r = senders[nonloop], receivers[nonloop]
+    src = np.concatenate([s, r])
+    dst = np.concatenate([r, s])
+    deg = np.bincount(src, minlength=num_nodes)
+    order_adj = np.argsort(src, kind="stable")
+    adj = dst[order_adj]
+    off = np.concatenate([[0], np.cumsum(deg)])
+    by_deg = np.argsort(deg, kind="stable")
+    seen = np.zeros(num_nodes, dtype=bool)
+    out = np.empty(num_nodes, dtype=np.int64)
+    w = 0
+    for root in by_deg:
+        if seen[root]:
+            continue
+        seen[root] = True
+        queue = [int(root)]
+        head = 0
+        while head < len(queue):
+            v = queue[head]
+            head += 1
+            out[w] = v
+            w += 1
+            nb = adj[off[v]:off[v + 1]]
+            nb = nb[~seen[nb]]
+            nb = np.unique(nb)  # dedupe keeps multi-edges harmless
+            nb = nb[np.argsort(deg[nb], kind="stable")]
+            seen[nb] = True
+            queue.extend(int(u) for u in nb)
+    return out[::-1].copy()
 
 
 def sample_neighbors(offsets: np.ndarray, senders: np.ndarray,

@@ -66,17 +66,43 @@ def canonicalize(x: np.ndarray,
                  node_bucket: Optional[int] = None,
                  edge_bucket: Optional[int] = None,
                  pad_multiple: int = 128,
-                 pad_strategy: str = "multiple") -> Graph:
+                 pad_strategy: str = "multiple",
+                 reorder: Optional[str] = None,
+                 src_windows: bool = False) -> Graph:
     """Full preprocessing pipeline: self-loops -> dst-sort -> pad -> Graph.
 
     Padding layout: one extra padding node is always added (even when N is
     already a multiple) so padding edges have a dedicated sink; padding edges
     are (N_pad-1, N_pad-1) with edge_mask False, appended after the sorted
     real edges (receiver N_pad-1 keeps the dst-sorted invariant).
+
+    reorder="rcm" relabels nodes by reverse Cuthill-McKee before sorting —
+    bandwidth-minimising, so each destination tile's senders fall in a
+    narrow id window (Graph.node_order maps outputs back to input ids).
+    src_windows=True additionally computes the per-tile window metadata
+    (Graph.tile_lo / Graph.src_band) that gates the windowed-gather
+    kernel (ops/pallas v6).
     """
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     n = int(x.shape[0])
+
+    node_order = None
+    if reorder == "rcm":
+        order = _core.rcm_order(senders, receivers, n)     # old id at new pos
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        senders, receivers = rank[senders], rank[receivers]
+
+        def take(a):
+            return None if a is None else np.asarray(a)[order]
+        x = take(x)
+        y, train_mask, val_mask, test_mask, graph_ids = (
+            take(y), take(train_mask), take(val_mask), take(test_mask),
+            take(graph_ids))
+        node_order = order
+    elif reorder is not None:
+        raise ValueError(f"unknown reorder {reorder!r} (expected 'rcm')")
 
     if add_self_loops:
         senders, receivers = _core.add_remaining_self_loops(
@@ -112,6 +138,11 @@ def canonicalize(x: np.ndarray,
     # padding senders == sink sort last)
     src_order = np.argsort(senders_p, kind="stable").astype(np.int32)
 
+    tile_lo, src_band = (None, 0)
+    if src_windows:
+        tile_lo, src_band = compute_src_windows(
+            senders_p, receivers_p, e, n_pad)
+
     return from_numpy(
         pad_nodes(np.asarray(x)),
         senders_p, receivers_p,
@@ -123,7 +154,44 @@ def canonicalize(x: np.ndarray,
         graph_ids=pad_nodes(
             np.zeros(n, np.int32) if graph_ids is None
             else np.asarray(graph_ids, np.int32), fill=-1),
-        src_order=src_order)
+        src_order=src_order,
+        tile_lo=tile_lo,
+        node_order=None if node_order is None
+        else np.concatenate([node_order,
+                             np.arange(n, n_pad)]).astype(np.int32),
+        src_band=src_band)
+
+
+def compute_src_windows(senders: np.ndarray, receivers: np.ndarray,
+                        num_real_edges: int, n_pad: int,
+                        granule: int = 128) -> Tuple[np.ndarray, int]:
+    """Locality metadata for the windowed-gather kernel (Graph.tile_lo /
+    Graph.src_band): over the REAL (non-padding) prefix of the dst-sorted
+    edge list, per 128-row destination tile the min sender id (INT32_MAX
+    if no edges), and the max 512-tile span max_src - align8(min_src) + 1
+    — any window >= round8(band) covers every tile at any block size
+    dividing 512 (tiles nest)."""
+    i32max = np.int32(2 ** 31 - 1)
+    s = np.asarray(senders[:num_real_edges], dtype=np.int64)
+    r = np.asarray(receivers[:num_real_edges], dtype=np.int64)
+    t128 = (n_pad + granule - 1) // granule
+    lo = np.full(t128, i32max, dtype=np.int64)
+    hi = np.full(t128, -1, dtype=np.int64)
+    tid = r // granule
+    np.minimum.at(lo, tid, s)
+    np.maximum.at(hi, tid, s)
+    # 512-tile band (the certification granularity)
+    k = 512 // granule
+    pad = (-t128) % k
+    lo5 = np.pad(lo, (0, pad), constant_values=i32max).reshape(-1, k)
+    hi5 = np.pad(hi, (0, pad), constant_values=-1).reshape(-1, k)
+    lo5 = lo5.min(axis=1)
+    hi5 = hi5.max(axis=1)
+    occupied = hi5 >= 0
+    if not occupied.any():
+        return lo.astype(np.int32), 0
+    span = hi5[occupied] - (lo5[occupied] // 8) * 8 + 1
+    return lo.astype(np.int32), int(span.max())
 
 
 def csr_offsets(receivers: np.ndarray, num_nodes: int) -> np.ndarray:

@@ -32,7 +32,7 @@ from .mesh import DATA_AXIS, EDGE_AXIS
 # per-shard LOCAL permutations — it must be sliced with the edge axis
 _EDGE_FIELDS = frozenset({"senders", "receivers", "edge_mask",
                           "src_order"})
-_META_FIELDS = frozenset({"num_nodes", "num_edges"})
+_META_FIELDS = frozenset({"num_nodes", "num_edges", "src_band"})
 
 
 def stack_graphs(graphs: List[Graph]) -> Graph:

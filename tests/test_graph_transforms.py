@@ -140,3 +140,83 @@ def test_src_order_sorts_senders():
     order = np.asarray(g.src_order)
     assert (np.diff(send[order]) >= 0).all()
     assert sorted(order.tolist()) == list(range(g.num_edges))
+
+
+# ---- RCM reordering + source-window metadata (windowed kernel, v6) --------
+
+def test_rcm_order_native_matches_numpy(monkeypatch):
+    rng = np.random.default_rng(0)
+    n, e = 500, 3000
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    got = core.rcm_order(s, r, n)
+    assert sorted(got.tolist()) == list(range(n))
+    monkeypatch.setattr(core, "_load", lambda: None)
+    want = core.rcm_order(s, r, n)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rcm_reduces_bandwidth_on_shuffled_path():
+    """A path graph under a random labelling has bandwidth ~n; RCM must
+    recover the chain (bandwidth 1)."""
+    rng = np.random.default_rng(1)
+    n = 1000
+    perm = rng.permutation(n)
+    s = perm[np.arange(n - 1)]
+    r = perm[np.arange(1, n)]
+    order = core.rcm_order(s, r, n)
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    assert np.abs(rank[s] - rank[r]).max() == 1
+
+
+def test_compute_src_windows_band_semantics():
+    """tile_lo = per-128-dst-tile min sender; src_band = max 512-tile
+    span max_src - align8(min_src) + 1 over REAL edges only."""
+    n_pad = 1024
+    # real edges: tile 0 senders in [40, 200], tile 5 senders in [600, 700]
+    recv = np.array([3, 100, 120, 640, 650], np.int64)
+    send = np.array([40, 200, 77, 600, 700], np.int64)
+    # a padding edge with a far-away sender must be ignored
+    recv_p = np.concatenate([recv, [n_pad - 1]])
+    send_p = np.concatenate([send, [0]])
+    tile_lo, band = T.compute_src_windows(send_p, recv_p, 5, n_pad)
+    assert tile_lo.shape == (8,)
+    assert tile_lo[0] == 40 and tile_lo[5] == 600
+    assert tile_lo[2] == np.int32(2 ** 31 - 1)  # empty tile
+    # 512-tile 0 spans senders [40, 200] -> 200 - 40 + 1 = 161
+    # 512-tile 1 spans senders [600, 700] -> 700 - 600 + 1 = 101
+    assert band == 161
+
+
+def test_canonicalize_rcm_is_model_equivariant():
+    """reorder='rcm' relabels nodes; the GAT layer output on the
+    reordered graph must equal the plain graph's output mapped through
+    Graph.node_order (permutation equivariance, end-to-end through
+    canonicalize)."""
+    import jax
+    from gat_pytorch_tpu.models import gat as G
+
+    rng = np.random.default_rng(2)
+    n, e = 120, 700
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    y = rng.integers(0, 3, n)
+    g0 = T.canonicalize(x, s, r, y=y)
+    g1 = T.canonicalize(x, s, r, y=y, reorder="rcm", src_windows=True)
+    assert g1.src_band > 0 and g1.tile_lo is not None
+    order = np.asarray(g1.node_order)[:n]
+    np.testing.assert_array_equal(np.asarray(g1.y)[:n],
+                                  np.asarray(g0.y)[order])
+    cfg = G.GATLayerConfig(in_features=6, out_features=4, num_heads=2,
+                           concat=True)
+    params = G.init_gat_layer(jax.random.key(0), cfg)
+
+    def run(g):
+        return np.asarray(G.gat_layer_apply(
+            params, cfg, g.x, g.senders, g.receivers, g.edge_mask,
+            g.num_nodes, backend="xla"))
+
+    np.testing.assert_allclose(run(g1)[:n], run(g0)[order],
+                               rtol=1e-4, atol=1e-5)
