@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from ..graph.graph import Graph
 from ..ops import segment as seg
 from ..ops.pallas import segment_attention as fsa
+from ..ops.pallas import segment_attention_window as fsw
 
 Params = Dict[str, Any]
 
@@ -198,7 +199,9 @@ def gat_layer_apply(params: Params,
                     edge_axis: Optional[str] = None,
                     backend: str = "auto",
                     src_order: Optional[jax.Array] = None,
-                    dst_owned: bool = False):
+                    dst_owned: bool = False,
+                    tile_lo: Optional[jax.Array] = None,
+                    src_band: int = 0):
     """One GAT layer forward. Graph must be canonicalised (self-loops added,
     dst-sorted, padded — graph/transforms.canonicalize).
 
@@ -212,6 +215,11 @@ def gat_layer_apply(params: Params,
     global logit max-cap, segment-softmax denominators of cut
     neighbourhoods, and the SpMM partial aggregates — are completed with
     pmax/psum collectives over `edge_axis`; everything else is unchanged.
+
+    tile_lo / src_band: per-dst-tile source-window metadata
+    (Graph.tile_lo / Graph.src_band, canonicalize(src_windows=True)) —
+    gates the v6 windowed-gather kernel on banded graphs; small graphs
+    use it with the whole node table resident regardless.
 
     dst_owned: the boundary-free edge layout (parallel/partition.py):
     each shard's edge slice holds exactly the in-edges of its dst node
@@ -260,6 +268,67 @@ def gat_layer_apply(params: Params,
                          preferred_element_type=jnp.float32)
     h = h_flat.reshape(num_nodes, nh, f)
 
+    # ---- v6 windowed-gather fusion (ops/pallas/segment_attention_window)
+    # removes the LAST two random node<->edge row crossings v5 still pays
+    # in XLA (forward h-gather, backward d(h) permute): the kernel streams
+    # a per-dst-tile source WINDOW of the node table into VMEM
+    # sequentially and gathers/scatters against it with one-hot MXU
+    # contractions. Eligible when the window fits VMEM: always at small N
+    # (whole node table resident — the Cora/Citeseer case, no reorder
+    # needed) or when the graph is banded (canonicalize(reorder="rcm",
+    # src_windows=True) certifies Graph.src_band). ONE kernel launch per
+    # direction — at Cora scale the v5 step is launch-bound
+    # (benchmarks/profile_step.py: ~8 Mosaic launches ~200us of a 381us
+    # backward). Replaces reference models/gat_layer.py:70-127.
+    import os as _os
+    _v6_env = _os.environ.get("GAT_TPU_V6", "auto")
+    if (_v6_env not in ("0", "off")
+            and _resolve_backend(backend) == "pallas"
+            and not return_attention
+            and edge_axis is None and not cfg.paper_faithful
+            and not cfg.const_attention):
+        nhfl = ((nh * f + 127) // 128) * 128
+        n_rows8 = ((num_nodes + 7) // 8) * 8
+        w = n_rows8
+        if src_band > 0 and tile_lo is not None:
+            w = min(((src_band + 7) // 8) * 8, n_rows8)
+        # VMEM gate: backward scratch is 4 window copies f32
+        # (2x double-buffered stream + d-accumulator + readback)
+        budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB", "10")) * 2**20
+        fits = 16 * w * nhfl <= budget
+        v6_on = fits and (_v6_env == "1"
+                          or (_v6_env == "auto" and E >= 4096))
+        if v6_on:
+            from ..utils.platform import is_tpu_backend
+            interpret = not is_tpu_backend()
+            a_src, a_dst = _split_attention_map(params["a"], nh, f)
+            s_dst_n = jnp.dot(h_flat, a_dst,
+                              preferred_element_type=jnp.float32)
+            drop_mask = None
+            if training and cfg.dropout > 0.0:
+                if rng is None:
+                    raise ValueError("rng required for attention dropout")
+                keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, (E, nh))
+                drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
+            e_real = jnp.sum(edge_mask).astype(jnp.int32)
+            v6_eb, v6_nb = (512, 256) if nhfl <= 512 else (256, 128)
+            if w == n_rows8 or tile_lo is None:
+                # whole-table-resident mode needs no locality metadata
+                tl = jnp.zeros(((num_nodes + 127) // 128,), jnp.int32)
+            else:
+                tl = tile_lo
+            out = fsw.fused_gat_window(
+                h_flat, a_src, s_dst_n, drop_mask, senders, receivers,
+                e_real, tl, num_nodes, nh, f, w, 1e-8, cfg.slope,
+                v6_eb, v6_nb, interpret)
+            if cfg.concat:
+                out = out.reshape(num_nodes, nh * f)
+            else:
+                out = jnp.mean(out.reshape(num_nodes, nh, f), axis=1)
+            if cfg.bias:
+                out = out + params["bias"]
+            return out
+
     # ---- v5 whole-attention fusion (in-kernel logits + cap) -------------
     # default reference-quirk mode, single device: NO (E, NH) edge array
     # is ever materialised in XLA (their gathers/reductions are the TPU
@@ -269,7 +338,6 @@ def gat_layer_apply(params: Params,
     # itself comes from an in-kernel pre-pass over the same row table
     # (the XLA cap cost two row-rate-bound gathers: 56-130 ms per layer
     # at 5M edges).
-    import os as _os
     _v5_env = _os.environ.get("GAT_TPU_V5", "auto")
     _v5_on = (_v5_env == "1"
               or (_v5_env not in ("0", "off") and E >= 4096))
@@ -717,7 +785,9 @@ def gat_model_apply(params: Params,
             return_attention=return_attention, edge_axis=edge_axis,
             backend=backend, dst_owned=dst_owned,
             src_order=graph.src_order
-            if (edge_axis is None or dst_owned) else None)
+            if (edge_axis is None or dst_owned) else None,
+            tile_lo=graph.tile_lo if edge_axis is None else None,
+            src_band=graph.src_band if edge_axis is None else 0)
         if return_attention:
             x, alpha = out
             attention.append(alpha)

@@ -1,0 +1,739 @@
+"""v6: windowed-gather whole-attention kernels for banded graphs.
+
+The v5 table op (segment_attention.py) still pays two random node<->edge
+row crossings per layer in XLA — the forward node->edge gather and the
+backward d(h) permute — and each random row read/write costs a full
+(8, 128) f32 tile (4 KB) regardless of the 512 B payload, which pins the
+composite at ~0.14 of the idealized HBM roofline (docs/PERF.md round-2
+close). v6 removes both crossings when the graph is BANDED: after a
+reverse Cuthill-McKee relabelling (graph/transforms.py reorder="rcm",
+csrc/graphcore.cpp gc_rcm_order) every destination tile's senders fall
+in a narrow id window, so the kernel can
+
+  * DMA the window rows h[base : base+W] HBM->VMEM SEQUENTIALLY (streamed
+    once per tile, double-buffered across tiles), and
+  * gather in-VMEM with a one-hot MXU matmul: gathered_t (NHFL, EB) =
+    wbuf_t (NHFL, W) @ onehot_w (W, EB), onehot_w[w, e] = [src_e == base+w]
+    (Mosaic has no dynamic gather on this chip — the one-hot contraction
+    IS the gather, and at W <= ~1k its FLOPs are cheaper than the 4 KB/row
+    random-access tax),
+
+and the backward accumulates d(h) per tile as d_win (W, NHFL) +=
+onehot_w @ d_h_block, then read-add-writes the window back to the node
+table — sequential traffic again, and the whole sorted-permute+scatter
+pipeline of the v5 backward disappears.
+
+The global logit max-cap (reference models/gat_layer.py:84-85) fuses in
+as grid phase 0: grid = (2T,), tiles [0, T) stream the edges computing
+the running (max, argmax-code) in VMEM scratch (persistent across the
+sequential TPU grid), tiles [T, 2T) run the attention with the completed
+cap — ONE kernel launch per layer forward instead of v5's two (at Cora
+scale the step is launch/fixed-cost bound: 8 Mosaic launches ~200 us of
+a 381 us backward — benchmarks/profile_step.py round 3).
+
+Applicability is certified statically by Graph.src_band (max 512-tile
+source span, host-computed at canonicalize): window W = round8(band)
+must also satisfy W <= node-table rows. Everything else (semantics,
+quirks, dropout composition) matches fused_gat_table_autocap; parity is
+pinned against reference_segment_attention + the XLA oracle in
+tests/test_window_kernel.py. Replaces reference models/gat_layer.py:70-127.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .segment_attention import NEG_INF, _round_up, _matmul_dtype
+
+_I32_MAX = np.int32(2 ** 31 - 1)
+
+
+def _expander(nh8, nhf8, nh, f):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 1)
+    return ((cols // f == rows)
+            & (rows < nh) & (cols < nh * f)).astype(jnp.float32)
+
+
+def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
+               base_ref,           # (T,) int32: per-tile window base (8-al.)
+               h_hbm,              # (N_rows, NHFL) node feature table
+               meta_hbm,           # (MR, E_cols): [drop nh8?] recv/src group
+               a_src_ref,          # (NHFL, NH8) VMEM whole
+               s_dst_ref,          # (NH8, NB) VMEM per tile (i % T)
+               acc_ref,            # (NHF8+NH8, NB) VMEM out per tile
+               cap_ref, code_ref,  # (8, 128) VMEM outs, constant index
+               wbuf, mbuf, sems, msems, capacc, codeacc,
+               *, eb: int, nb: int, nh: int, f: int, nh8: int,
+               nhf8: int, nhfl: int, w: int, eps: float, slope: float,
+               with_dropout: bool):
+    i = pl.program_id(0)
+    t = pl.num_programs(0) // 2
+    ti = jax.lax.rem(i, t)
+    phase = i // t                    # 0 = cap sweep, 1 = attention
+    lo = (tile_off_ref[ti] // eb) * eb
+    hi = tile_off_ref[ti + 1]
+    e_real = tile_off_ref[t + 1]
+    nblocks = pl.cdiv(hi - lo, eb)
+
+    expander = _expander(nh8, nhf8, nh, f)
+    a_src_t = a_src_ref[:].astype(jnp.float32)              # (NHFL, NH8)
+
+    @pl.when(i == 0)
+    def _():
+        capacc[:] = jnp.full_like(capacc, NEG_INF)
+        codeacc[:] = jnp.full_like(codeacc, _I32_MAX)
+
+    # ---- window stream, double-buffered across grid steps --------------
+    def dma_w(slot, gi):
+        tix = jax.lax.rem(gi, t)
+        base = pl.multiple_of((base_ref[tix] // 8) * 8, 8)
+        return pltpu.make_async_copy(h_hbm.at[pl.ds(base, w), :],
+                                     wbuf.at[slot], sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma_w(0, 0).start()
+
+    @pl.when(i + 1 < 2 * t)
+    def _():
+        dma_w((i + 1) % 2, i + 1).start()
+
+    dma_w(i % 2, i).wait()
+    win = wbuf[i % 2].astype(jnp.float32)                   # (W, NHFL)
+    win_t = win.T                                           # (NHFL, W)
+    # per-tile source scores over the window: s_src_win (NH8, W)
+    s_src_win = jax.lax.dot_general(
+        a_src_t, win_t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    base_f = ((base_ref[ti] // 8) * 8).astype(jnp.float32)
+
+    def dma_m(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
+                                     mbuf.at[slot], msems.at[slot])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma_m(0, 0).start()
+
+    def edge_inputs(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        meta = mbuf[slot]
+        recv_at = nh8 if with_dropout else 0
+        recv_row = meta[recv_at:recv_at + 1, :]             # (1, EB)
+        src_row = meta[recv_at + 1:recv_at + 2, :]          # (1, EB)
+        rows = (ti * nb
+                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                ).astype(jnp.float32)
+        onehot_dst = (recv_row == rows).astype(jnp.float32)  # (NB, EB)
+        wrow = (base_f
+                + jax.lax.broadcasted_iota(jnp.int32, (w, eb), 0
+                                           ).astype(jnp.float32))
+        onehot_w = (src_row == wrow).astype(jnp.float32)     # (W, EB)
+        s_src = jax.lax.dot_general(
+            s_src_win, onehot_w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (NH8, EB)
+        s_dst_e = jax.lax.dot_general(
+            s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (NH8, EB)
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
+        return meta, recv_row, onehot_dst, onehot_w, s_src, s_dst_e, col
+
+    def cap_body(b, carry):
+        vmax, vcode = carry
+        slot = b % 2
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_m((b + 1) % 2, b + 1).start()
+
+        dma_m(slot, b).wait()
+        start = pl.multiple_of(lo + b * eb, eb)
+        (meta, recv_row, onehot_dst, onehot_w, s_src, s_dst_e,
+         col) = edge_inputs(slot, b)
+        raw = s_src + s_dst_e
+        head = jax.lax.broadcasted_iota(jnp.int32, (nh8, eb), 0)
+        in_tile = ((recv_row >= ti * nb) & (recv_row < ti * nb + nb))
+        valid = (head < nh) & (col < e_real) & in_tile
+        masked = jnp.where(valid, raw, NEG_INF)
+        code = col * nh8 + head
+        bm = jnp.max(masked)
+        bcode = jnp.min(jnp.where(masked == bm, code, _I32_MAX))
+        tie = jnp.where(bm == vmax, jnp.minimum(bcode, vcode), vcode)
+        return (jnp.maximum(vmax, bm),
+                jnp.where(bm > vmax, bcode, tie))
+
+    def main_body(b, _):
+        slot = b % 2
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_m((b + 1) % 2, b + 1).start()
+
+        dma_m(slot, b).wait()
+        start = pl.multiple_of(lo + b * eb, eb)
+        (meta, recv_row, onehot_dst, onehot_w, s_src, s_dst_e,
+         col) = edge_inputs(slot, b)
+        cap = jnp.max(capacc[:])
+        pre = (s_src + s_dst_e) - cap
+        lgt = jnp.where(pre >= 0.0, pre, slope * pre)
+        ex = jnp.exp(lgt)
+        ex = jnp.where(col < e_real, ex, 0.0)               # (NH8, EB)
+
+        gathered_t = jax.lax.dot_general(
+            win_t, onehot_w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHFL, EB)
+        h_t = gathered_t[:nhf8]
+
+        num_t = ex
+        if with_dropout:
+            num_t = num_t * meta[0:nh8, :]
+        num_wide = jax.lax.dot_general(
+            expander, num_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHF8, EB)
+        weighted_t = h_t * num_wide
+        dt = _matmul_dtype()
+        combined = jnp.concatenate([weighted_t, ex], axis=0).astype(dt)
+        acc_ref[:] += jax.lax.dot_general(
+            combined, onehot_dst.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (NHF8+NH8, NB)
+        return 0
+
+    @pl.when(phase == 0)
+    def _():
+        vmax, vcode = jax.lax.fori_loop(
+            0, nblocks, cap_body,
+            (jnp.float32(NEG_INF), _I32_MAX * jnp.int32(1)))
+        # fold this tile's (max, code) into the persistent accumulators
+        old = capacc[0, 0]
+        oldc = codeacc[0, 0]
+        newc = jnp.where(vmax > old, vcode,
+                         jnp.where(vmax == old,
+                                   jnp.minimum(vcode, oldc), oldc))
+        slot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
+                  & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                     == 0))
+        capacc[:] = jnp.where(slot00, jnp.maximum(old, vmax), NEG_INF)
+        codeacc[:] = jnp.where(slot00, newc, _I32_MAX)
+
+    @pl.when(phase == 1)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        jax.lax.fori_loop(0, nblocks, main_body, 0)
+        d = acc_ref[nhf8:, :]
+        inv = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
+        inv_wide = jax.lax.dot_general(
+            expander, inv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:nhf8, :] = acc_ref[:nhf8, :] * inv_wide
+
+    cap_ref[:] = capacc[:]
+    code_ref[:] = codeacc[:]
+
+
+def _pack_meta_v6(drop_mask, receivers, senders, nh8, eb):
+    """(MR, E+eb) edge-major: optional dropout rows (NH8), then one 8-row
+    group with receiver ids at subrow 0 and sender ids at subrow 1 (f32,
+    exact below 2^24)."""
+    parts = []
+    if drop_mask is not None:
+        dm = drop_mask.T
+        if dm.shape[0] != nh8:
+            dm = jnp.pad(dm, ((0, nh8 - dm.shape[0]), (0, 0)))
+        parts.append(dm)
+    parts.append(receivers.astype(jnp.float32)[None, :])
+    parts.append(senders.astype(jnp.float32)[None, :])
+    meta = jnp.concatenate(parts, axis=0)
+    mr = (nh8 if drop_mask is not None else 0) + 8
+    return jnp.pad(meta, ((0, mr - meta.shape[0]), (0, eb)))
+
+
+def _v6_prep(h_flat, a_src, senders, receivers, tile_lo, num_nodes,
+             nh, f, eb, nb, window):
+    """Pads the node table, derives per-NB-tile window bases from the
+    128-granule tile_lo metadata, and packs scalar-prefetch operands."""
+    nhf = nh * f
+    nh8 = _round_up(nh, 8)
+    nhfl = _round_up(nhf, 128)
+    h8 = h_flat if nhf == nhfl else jnp.pad(
+        h_flat, ((0, 0), (0, nhfl - nhf)))
+    n_rows = h8.shape[0]
+    if n_rows < window:
+        h8 = jnp.pad(h8, ((0, window - n_rows), (0, 0)))
+        n_rows = window
+    a_pad = jnp.pad(a_src, ((0, nhfl - a_src.shape[0]),
+                            (0, nh8 - a_src.shape[1])))
+
+    t = pl.cdiv(num_nodes, nb)
+    k = nb // 128
+    tl = tile_lo.astype(jnp.int32)
+    need = t * k
+    if tl.shape[0] < need:
+        tl = jnp.pad(tl, (0, need - tl.shape[0]),
+                     constant_values=_I32_MAX)
+    lo_nb = jnp.min(tl[:need].reshape(t, k), axis=1)        # (T,)
+    base = jnp.clip((lo_nb // 8) * 8, 0, n_rows - window)
+    return h8, a_pad, base.astype(jnp.int32), nh8, nhfl, n_rows
+
+
+def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
+                num_nodes, nh, f, *, eps, slope, eb, nb, window,
+                interpret, with_dropout):
+    t = pl.cdiv(num_nodes, nb)
+    n_pad = t * nb
+    nh8 = _round_up(nh, 8)
+    nhf8 = _round_up(nh * f, 8)
+    nhfl = h8.shape[1]
+
+    s_dst_t = jnp.pad(s_dst.T, ((0, nh8 - nh), (0, n_pad - num_nodes)))
+    bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
+    tile_off = jnp.searchsorted(receivers, bounds, side="left"
+                                ).astype(jnp.int32)
+    pref = jnp.concatenate([tile_off, e_real[None].astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(2 * t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # h8
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # meta
+            pl.BlockSpec((nhfl, nh8), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),              # a_pad
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, jax.lax.rem(i, t)),
+                         memory_space=pltpu.VMEM),              # s_dst_t
+        ],
+        out_specs=[
+            pl.BlockSpec((nhf8 + nh8, nb),
+                         lambda i, *_: (0, jax.lax.rem(i, t)),
+                         memory_space=pltpu.VMEM),              # acc
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),              # cap
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),              # code
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, window, nhfl), h8.dtype),            # wbuf
+            pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),    # mbuf
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((8, 128), jnp.float32),                  # capacc
+            pltpu.VMEM((8, 128), jnp.int32),                    # codeacc
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_v6, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
+        nhfl=nhfl, w=window, eps=eps, slope=slope,
+        with_dropout=with_dropout)
+    e = receivers.shape[0]
+    acc_t, cap_o, code_o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nhf8 + nh8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (e + eb) * (2 * window * nh8 + window * nhfl
+                                  + 2 * nb * (nhf8 + nh8)),
+            bytes_accessed=2 * t * window * nhfl * 4
+            + 2 * (e + eb) * meta.shape[0] * 4
+            + n_pad * (nhf8 + nh8) * 4,
+            transcendentals=(e + eb) * nh8),
+        interpret=interpret,
+    )(pref, base, h8, meta, a_pad, s_dst_t)
+    return (acc_t[:nh * f].T[:num_nodes],
+            acc_t[nhf8:nhf8 + nh].T[:num_nodes],
+            cap_o[0, 0], code_o[0, 0])
+
+
+def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
+                   base_ref,        # (T,) int32
+                   h_hbm,           # (N_rows, NHFL)
+                   meta_hbm,        # (MR, E_cols)
+                   zeros_h_hbm,     # (N_rows, NHFL) aliased -> d_table
+                   zeros_m_hbm,     # (NH8, E_cols) aliased -> d_drop
+                   g_t, out_t, denom_t,    # (nhf8|nh8, NB) per tile
+                   s_dst_ref,              # (NH8, NB) per tile
+                   a_src_ref,              # (NHFL, NH8) whole
+                   cap_sref,               # (1, 1) SMEM
+                   dtab_hbm, dmeta_hbm,    # aliased outputs
+                   dsdst_ref,              # (NH8, NB) VMEM out per tile
+                   dasrc_ref,              # (NHFL, NH8) VMEM grid-acc
+                   dcap_ref,               # (8, 128) VMEM grid-acc
+                   wbuf, mbuf, dwin, dmbuf, rwin, rmbuf,
+                   sems, msems, wsems, rsems,
+                   *, eb: int, nb: int, nh: int, f: int, nh8: int,
+                   nhf8: int, nhfl: int, w: int, eps: float,
+                   slope: float, with_dropout: bool):
+    i = pl.program_id(0)
+    t = pl.num_programs(0)
+    lo = (tile_off_ref[i] // eb) * eb
+    hi = tile_off_ref[i + 1]
+    e_real = tile_off_ref[t + 1]
+    nblocks = pl.cdiv(hi - lo, eb)
+
+    expander = _expander(nh8, nhf8, nh, f)
+    a_src_t = a_src_ref[:].astype(jnp.float32)
+    cap = cap_sref[0, 0]
+    dsdst_ref[:] = jnp.zeros_like(dsdst_ref)
+
+    @pl.when(i == 0)
+    def _():
+        dasrc_ref[:] = jnp.zeros_like(dasrc_ref)
+        dcap_ref[:] = jnp.zeros_like(dcap_ref)
+
+    d = denom_t[:]
+    inv_d = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
+    outg_h = jax.lax.dot_general(
+        expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d_den = -outg_h * inv_d
+
+    def dma_w(slot, gi):
+        base = pl.multiple_of((base_ref[gi] // 8) * 8, 8)
+        return pltpu.make_async_copy(h_hbm.at[pl.ds(base, w), :],
+                                     wbuf.at[slot], sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma_w(0, 0).start()
+
+    @pl.when(i + 1 < t)
+    def _():
+        dma_w((i + 1) % 2, i + 1).start()
+
+    dma_w(i % 2, i).wait()
+    win = wbuf[i % 2].astype(jnp.float32)                   # (W, NHFL)
+    win_t = win.T
+    s_src_win = jax.lax.dot_general(
+        a_src_t, win_t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # (NH8, W)
+    base = pl.multiple_of((base_ref[i] // 8) * 8, 8)
+    base_f = base.astype(jnp.float32)
+
+    dwin[:] = jnp.zeros_like(dwin)
+
+    def dma_m(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
+                                     mbuf.at[slot], msems.at[slot])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma_m(0, 0).start()
+
+    def body(b, _):
+        slot = b % 2
+        wslot = b % 2
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_m((b + 1) % 2, b + 1).start()
+
+        dma_m(slot, b).wait()
+        start = pl.multiple_of(lo + b * eb, eb)
+        meta = mbuf[slot]
+        recv_at = nh8 if with_dropout else 0
+        recv_row = meta[recv_at:recv_at + 1, :]
+        src_row = meta[recv_at + 1:recv_at + 2, :]
+        rows = (i * nb
+                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                ).astype(jnp.float32)
+        onehot_dst = (recv_row == rows).astype(jnp.float32)  # (NB, EB)
+        wrow = (base_f
+                + jax.lax.broadcasted_iota(jnp.int32, (w, eb), 0
+                                           ).astype(jnp.float32))
+        onehot_w = (src_row == wrow).astype(jnp.float32)     # (W, EB)
+
+        s_src = jax.lax.dot_general(
+            s_src_win, onehot_w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_dst_e = jax.lax.dot_general(
+            s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        pre = (s_src + s_dst_e) - cap
+        lgt = jnp.where(pre >= 0.0, pre, slope * pre)
+        ex = jnp.exp(lgt)
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
+        in_range = col < e_real
+        ex = jnp.where(in_range, ex, 0.0)
+
+        gathered_t = jax.lax.dot_general(
+            win_t, onehot_w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHFL, EB)
+        h_t = gathered_t[:nhf8]
+
+        payload = jnp.concatenate([g_t[:], inv_d, d_den], axis=0)
+        payload_e = jax.lax.dot_general(
+            payload, onehot_dst, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g_e = payload_e[0:nhf8, :]
+        invd_e = payload_e[nhf8:nhf8 + nh8, :]
+        dden_e = payload_e[nhf8 + nh8:nhf8 + 2 * nh8, :]
+
+        m = meta[0:nh8, :] if with_dropout else None
+
+        coef = ex * invd_e if m is None else ex * m * invd_e
+        coef_wide = jax.lax.dot_general(
+            expander, coef, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_h_feat = coef_wide * g_e                          # (NHF8, EB)
+
+        hdotg = jax.lax.dot_general(
+            expander, h_t * g_e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_ex = hdotg * invd_e
+        if m is not None:
+            d_ex = d_ex * m
+        d_lg = ex * (d_ex + dden_e)
+        d_pre = jnp.where(pre >= 0.0, d_lg, slope * d_lg)
+        d_raw = jnp.where(in_range, d_pre, 0.0)             # (NH8, EB)
+
+        d_h_att = jax.lax.dot_general(
+            a_src_t, d_raw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHFL, EB)
+        if nhf8 == nhfl:
+            d_h_full = d_h_att + d_h_feat
+        else:
+            d_h_full = jnp.concatenate(
+                [d_h_att[:nhf8] + d_h_feat, d_h_att[nhf8:]], axis=0)
+
+        # d(h) scattered into the WINDOW accumulator — the one-hot's
+        # transpose is the scatter (no permute, no sorted-segment pass)
+        dwin[:] += jax.lax.dot_general(
+            onehot_w, d_h_full, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (W, NHFL)
+
+        dsdst_ref[:] += jax.lax.dot_general(
+            d_raw, onehot_dst, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NH8, NB)
+        dasrc_ref[:] += jax.lax.dot_general(
+            gathered_t, d_raw, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHFL, NH8)
+        slot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
+                  & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                     == 0))
+        dcap_ref[:] += jnp.where(slot00, -jnp.sum(d_raw), 0.0)
+
+        dmblk = hdotg * ex * invd_e                         # d_drop
+
+        @pl.when(b == 0)
+        def _():
+            rm = pltpu.make_async_copy(dmeta_hbm.at[:, pl.ds(start, eb)],
+                                       rmbuf, rsems.at[1])
+            rm.start()
+            rm.wait()
+            dmbuf[wslot] = dmblk + rmbuf[:]
+
+        @pl.when(b > 0)
+        def _():
+            dmbuf[wslot] = dmblk
+
+        wm = pltpu.make_async_copy(dmbuf.at[wslot],
+                                   dmeta_hbm.at[:, pl.ds(start, eb)],
+                                   wsems.at[wslot])
+        wm.start()
+        wm.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, body, 0)
+
+    # read-add-write this tile's d(h) window. Windows of consecutive
+    # tiles overlap, but the TPU grid is sequential and both DMAs below
+    # complete before the next tile starts — no hazard.
+    rd = pltpu.make_async_copy(dtab_hbm.at[pl.ds(base, w), :], rwin,
+                               rsems.at[0])
+    rd.start()
+    rd.wait()
+    rwin[:] += dwin[:]
+    wr = pltpu.make_async_copy(rwin, dtab_hbm.at[pl.ds(base, w), :],
+                               wsems.at[2])
+    wr.start()
+    wr.wait()
+
+
+def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
+                g, out, denom, num_nodes: int, nh: int, f: int,
+                *, eps: float, slope: float, eb: int, nb: int,
+                window: int, with_dropout: bool, interpret: bool):
+    """Returns (d_table (N_rows, NHFL), d_drop (NH8, E_cols),
+    d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128))."""
+    e = receivers.shape[0]
+    t = pl.cdiv(num_nodes, nb)
+    n_pad = t * nb
+    nh8 = _round_up(nh, 8)
+    nhf8 = _round_up(nh * f, 8)
+    nhfl = h8.shape[1]
+    n_rows = h8.shape[0]
+    e_cols = meta.shape[1]
+
+    def node_t(a, rows):
+        a_t = a.T
+        return jnp.pad(a_t, ((0, rows - a_t.shape[0]),
+                             (0, n_pad - a_t.shape[1])))
+
+    g_t = node_t(g, nhf8)
+    out_t = node_t(out, nhf8)
+    denom_t = node_t(denom, nh8)
+    s_dst_t = node_t(s_dst, nh8)
+
+    bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
+    tile_off = jnp.searchsorted(receivers, bounds, side="left"
+                                ).astype(jnp.int32)
+    pref = jnp.concatenate([tile_off, e_real[None].astype(jnp.int32)])
+    zeros_h = jnp.zeros((n_rows, nhfl), jnp.float32)
+    zeros_m = jnp.zeros((nh8, e_cols), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # h8
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # meta
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # zeros_h
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # zeros_m
+            pl.BlockSpec((nhf8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # g_t
+            pl.BlockSpec((nhf8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # out_t
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # denom_t
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # s_dst_t
+            pl.BlockSpec((nhfl, nh8), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),              # a_pad
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),              # cap
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # d_table
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # d_drop
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),              # d_sdst
+            pl.BlockSpec((nhfl, nh8), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),              # d_asrc
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),              # d_cap
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, nhfl), h8.dtype),            # wbuf
+            pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),    # mbuf
+            pltpu.VMEM((window, nhfl), jnp.float32),            # dwin
+            pltpu.VMEM((2, nh8, eb), jnp.float32),              # dmbuf
+            pltpu.VMEM((window, nhfl), jnp.float32),            # rwin
+            pltpu.VMEM((nh8, eb), jnp.float32),                 # rmbuf
+            pltpu.SemaphoreType.DMA((2,)),                      # window in
+            pltpu.SemaphoreType.DMA((2,)),                      # meta in
+            pltpu.SemaphoreType.DMA((3,)),                      # writes
+            pltpu.SemaphoreType.DMA((2,)),                      # readbacks
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_v6_bwd, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
+        nhfl=nhfl, w=window, eps=eps, slope=slope,
+        with_dropout=with_dropout)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, nhfl), jnp.float32),
+            jax.ShapeDtypeStruct((nh8, e_cols), jnp.float32),
+            jax.ShapeDtypeStruct((nh8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nhfl, nh8), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        input_output_aliases={4: 0, 5: 1},  # zeros -> outputs (after 2
+        #                                     scalar-prefetch operands)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (e + eb) * (2 * window * nh8 + 2 * window * nhfl
+                                  + 3 * nb * (nhf8 + nh8)),
+            bytes_accessed=t * (3 * window * nhfl) * 4
+            + 2 * (e + eb) * meta.shape[0] * 4
+            + n_pad * (2 * nhf8 + 2 * nh8) * 4,
+            transcendentals=(e + eb) * nh8),
+        interpret=interpret,
+    )(pref, base, h8, meta, zeros_h, zeros_m, g_t, out_t, denom_t,
+      s_dst_t, a_pad, cap.reshape(1, 1))
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
+def fused_gat_window(h_flat, a_src, s_dst, drop_mask,
+                     senders, receivers, e_real, tile_lo,
+                     num_nodes: int, nh: int, f: int,
+                     window: int,
+                     eps: float = 1e-8, slope: float = 0.01,
+                     eb: int = 512, nb: int = 256,
+                     interpret: bool = False):
+    """Whole-attention fused op for BANDED graphs — the windowed-gather
+    twin of fused_gat_table_autocap (same semantics incl. the in-kernel
+    global max-cap with exact sparse gradient). Requires
+    window >= round8(Graph.src_band) with nb dividing 512; the caller
+    (models/gat.py) certifies this statically from canonicalize's
+    metadata. No random node<->edge row crossing exists in either pass:
+    the forward gathers by one-hot contraction against a sequentially
+    streamed VMEM window, the backward scatters d(h) the same way.
+    Replaces reference models/gat_layer.py:70-127."""
+    out, _ = _fgw_fwd(h_flat, a_src, s_dst, drop_mask, senders,
+                      receivers, e_real, tile_lo, num_nodes, nh, f,
+                      window, eps, slope, eb, nb, interpret)
+    return out
+
+
+def _fgw_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
+             e_real, tile_lo, num_nodes, nh, f, window, eps, slope,
+             eb, nb, interpret):
+    nh8 = _round_up(nh, 8)
+    h8, a_pad, base, nh8, nhfl, n_rows = _v6_prep(
+        h_flat, a_src, senders, receivers, tile_lo, num_nodes,
+        nh, f, eb, nb, window)
+    meta = _pack_meta_v6(drop_mask, receivers, senders, nh8, eb)
+    with_dropout = drop_mask is not None
+    out, denom, cap, code = _forward_v6(
+        h8, meta, a_pad, s_dst, base, receivers, e_real, num_nodes,
+        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
+        interpret=interpret, with_dropout=with_dropout)
+    return out, (h8, meta, a_pad, s_dst, base, cap, code, senders,
+                 receivers, e_real, denom, out, with_dropout,
+                 h_flat.shape[0])
+
+
+def _fgw_bwd(num_nodes, nh, f, window, eps, slope, eb, nb, interpret,
+             res, g):
+    (h8, meta, a_pad, s_dst, base, cap, code, senders, receivers,
+     e_real, denom, out, with_dropout, n_orig) = res
+    e = receivers.shape[0]
+    nh8 = _round_up(nh, 8)
+    d_table, d_drop_t, d_sdst_t, d_apad, d_cap = backward_v6(
+        h8, meta, a_pad, s_dst, cap, base, receivers, e_real, g, out,
+        denom, num_nodes, nh, f, eps=eps, slope=slope, eb=eb, nb=nb,
+        window=window, with_dropout=with_dropout, interpret=interpret)
+    d_h_flat = d_table[:n_orig, :nh * f]
+    d_a_src = d_apad[:nh * f, :nh]
+    d_s_dst = d_sdst_t[:nh].T[:num_nodes]
+    d_drop = d_drop_t[:nh, :e].T if with_dropout else None
+
+    # cap chain: route the summed cap cotangent to the argmax triple
+    dc = d_cap[0, 0]
+    eidx = code // nh8
+    hidx = code % nh8
+    src_star = jnp.take(senders, eidx)
+    dst_star = jnp.take(receivers, eidx)
+    hrow = jnp.take(h8, src_star, axis=0)[:nh * f].astype(jnp.float32)
+    acol = jnp.take(a_pad, hidx, axis=1)[:nh * f].astype(jnp.float32)
+    d_h_flat = d_h_flat.at[src_star].add(dc * acol)
+    d_a_src = d_a_src.at[:, hidx].add(dc * hrow)
+    d_s_dst = d_s_dst.at[dst_star, hidx].add(dc)
+    return (d_h_flat, d_a_src, d_s_dst, d_drop, None, None, None, None)
+
+
+fused_gat_window.defvjp(_fgw_fwd, _fgw_bwd)

@@ -260,3 +260,40 @@ def test_naive_runtime_oracle_matches_custom():
         out_n = gat.gat_model_apply(params, cfg, graph, backend="naive")
         np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_c),
                                    rtol=1e-5, atol=1e-5)
+
+def test_v6_model_path_matches_default(monkeypatch):
+    """GAT_TPU_V6=1 routes gat_layer_apply through the windowed-gather
+    kernel (whole-table-resident mode on a plain graph, true windowed
+    mode on an RCM graph with src_windows metadata); the 2-layer model
+    output AND a parameter gradient must match the default XLA path."""
+    n, f_in = 150, 12
+    g = make_random_graph(23, n, 5.0, f_in)
+    cfg = gat.GATConfig(
+        num_input_node_features=f_in, num_layers=2,
+        num_heads_per_layer=[4, 1], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[f_in, 8, 5], num_classes=5,
+        add_skip_connection=[False, False], dropout=0.0)
+    params = gat.init_gat_model(jax.random.key(2), cfg)
+
+    for kw in [dict(), dict(reorder="rcm", src_windows=True)]:
+        graph = T.canonicalize(g.x, g.senders, g.receivers, **kw)
+
+        def loss(p, graph=graph):
+            return jnp.sum(jnp.sin(gat.gat_model_apply(p, cfg, graph)))
+
+        monkeypatch.delenv("GAT_TPU_V6", raising=False)
+        monkeypatch.delenv("GAT_TPU_BACKEND", raising=False)
+        base, gbase = jax.value_and_grad(loss)(params)
+        monkeypatch.setenv("GAT_TPU_V6", "1")
+        monkeypatch.setenv("GAT_TPU_BACKEND", "pallas")
+        v6, gv6 = jax.value_and_grad(loss)(params)
+        np.testing.assert_allclose(float(v6), float(base),
+                                   rtol=1e-5, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(gv6),
+                        jax.tree_util.tree_leaves(gbase)):
+            scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale,
+                                       rtol=0, atol=3e-5)
+        monkeypatch.delenv("GAT_TPU_V6", raising=False)
+        monkeypatch.delenv("GAT_TPU_BACKEND", raising=False)
