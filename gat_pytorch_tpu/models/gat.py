@@ -295,7 +295,10 @@ def gat_layer_apply(params: Params,
         # VMEM gate: backward scratch is 4 window copies f32
         # (2x double-buffered stream + d-accumulator + readback)
         budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB", "10")) * 2**20
-        fits = 16 * w * nhfl <= budget
+        # resident (whole-table) windows need half the scratch: one wbuf
+        # slot + the dwin accumulator, no per-tile readback buffer
+        per_row = 8 if w >= n_rows8 else 16
+        fits = per_row * w * nhfl <= budget
         v6_on = fits and (_v6_env == "1"
                           or (_v6_env == "auto" and E >= 4096))
         if v6_on:

@@ -11,7 +11,10 @@ csrc/graphcore.cpp gc_rcm_order) every destination tile's senders fall
 in a narrow id window, so the kernel can
 
   * DMA the window rows h[base : base+W] HBM->VMEM SEQUENTIALLY (streamed
-    once per tile, double-buffered across tiles), and
+    once per tile, double-buffered across tiles; when W covers the WHOLE
+    node table — the small-graph case, no reordering needed — the table
+    is DMAed once and stays resident, and the backward accumulates d(h)
+    entirely in VMEM, writing it back once at the last tile), and
   * gather in-VMEM with a one-hot MXU matmul: gathered_t (NHFL, EB) =
     wbuf_t (NHFL, W) @ onehot_w (W, EB), onehot_w[w, e] = [src_e == base+w]
     (Mosaic has no dynamic gather on this chip — the one-hot contraction
@@ -49,7 +52,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .segment_attention import NEG_INF, _round_up, _matmul_dtype
+from .segment_attention import NEG_INF, _round_up
+
+
+def _v6_dtype():
+    """Contraction input dtype for the v6 one-hot gather/scatter
+    matmuls. Unlike v5 (stream-bound, bf16 a wash), v6 is MXU-bound —
+    these contractions ARE the gather — so bf16 inputs (f32
+    accumulation via preferred_element_type) roughly double throughput.
+    The rounding applies to the gathered h payload and the d(h)
+    cotangent products, i.e. exactly the precision a bf16 feature table
+    already concedes; logits, softmax, and all reductions stay f32.
+    Override with GAT_TPU_V6_DTYPE=float32."""
+    import os
+    return (jnp.float32
+            if os.environ.get("GAT_TPU_V6_DTYPE") == "float32"
+            else jnp.bfloat16)
 
 _I32_MAX = np.int32(2 ** 31 - 1)
 
@@ -72,7 +90,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                wbuf, mbuf, sems, msems, capacc, codeacc,
                *, eb: int, nb: int, nh: int, f: int, nh8: int,
                nhf8: int, nhfl: int, w: int, eps: float, slope: float,
-               with_dropout: bool):
+               with_dropout: bool, resident: bool):
     i = pl.program_id(0)
     t = pl.num_programs(0) // 2
     ti = jax.lax.rem(i, t)
@@ -90,23 +108,35 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         capacc[:] = jnp.full_like(capacc, NEG_INF)
         codeacc[:] = jnp.full_like(codeacc, _I32_MAX)
 
-    # ---- window stream, double-buffered across grid steps --------------
-    def dma_w(slot, gi):
-        tix = jax.lax.rem(gi, t)
-        base = pl.multiple_of((base_ref[tix] // 8) * 8, 8)
-        return pltpu.make_async_copy(h_hbm.at[pl.ds(base, w), :],
-                                     wbuf.at[slot], sems.at[slot])
+    # ---- window stream ---------------------------------------------------
+    if resident:
+        # window == whole node table: DMA it ONCE (grid is sequential, so
+        # the i==0 wait covers every later tile), single slot
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(h_hbm.at[pl.ds(0, w), :],
+                                       wbuf.at[0], sems.at[0])
+            cp.start()
+            cp.wait()
+        win = wbuf[0].astype(jnp.float32)                   # (W, NHFL)
+    else:
+        # per-tile window, double-buffered across grid steps
+        def dma_w(slot, gi):
+            tix = jax.lax.rem(gi, t)
+            base = pl.multiple_of((base_ref[tix] // 8) * 8, 8)
+            return pltpu.make_async_copy(h_hbm.at[pl.ds(base, w), :],
+                                         wbuf.at[slot], sems.at[slot])
 
-    @pl.when(i == 0)
-    def _():
-        dma_w(0, 0).start()
+        @pl.when(i == 0)
+        def _():
+            dma_w(0, 0).start()
 
-    @pl.when(i + 1 < 2 * t)
-    def _():
-        dma_w((i + 1) % 2, i + 1).start()
+        @pl.when(i + 1 < 2 * t)
+        def _():
+            dma_w((i + 1) % 2, i + 1).start()
 
-    dma_w(i % 2, i).wait()
-    win = wbuf[i % 2].astype(jnp.float32)                   # (W, NHFL)
+        dma_w(i % 2, i).wait()
+        win = wbuf[i % 2].astype(jnp.float32)               # (W, NHFL)
     win_t = win.T                                           # (NHFL, W)
     # per-tile source scores over the window: s_src_win (NH8, W)
     s_src_win = jax.lax.dot_general(
@@ -188,8 +218,10 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         ex = jnp.exp(lgt)
         ex = jnp.where(col < e_real, ex, 0.0)               # (NH8, EB)
 
+        dt = _v6_dtype()
         gathered_t = jax.lax.dot_general(
-            win_t, onehot_w, (((1,), (0,)), ((), ())),
+            win_t.astype(dt), onehot_w.astype(dt),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (NHFL, EB)
         h_t = gathered_t[:nhf8]
 
@@ -200,7 +232,6 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
             expander, num_t, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (NHF8, EB)
         weighted_t = h_t * num_wide
-        dt = _matmul_dtype()
         combined = jnp.concatenate([weighted_t, ex], axis=0).astype(dt)
         acc_ref[:] += jax.lax.dot_general(
             combined, onehot_dst.astype(dt), (((1,), (1,)), ((), ())),
@@ -292,6 +323,7 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
     nh8 = _round_up(nh, 8)
     nhf8 = _round_up(nh * f, 8)
     nhfl = h8.shape[1]
+    resident = window == h8.shape[0]   # whole table in VMEM, one DMA
 
     s_dst_t = jnp.pad(s_dst.T, ((0, nh8 - nh), (0, n_pad - num_nodes)))
     bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
@@ -320,7 +352,8 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
                          memory_space=pltpu.VMEM),              # code
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, window, nhfl), h8.dtype),            # wbuf
+            pltpu.VMEM((1 if resident else 2, window, nhfl),
+                       h8.dtype),                               # wbuf
             pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),    # mbuf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -331,7 +364,7 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
     kernel = functools.partial(
         _kernel_v6, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
-        with_dropout=with_dropout)
+        with_dropout=with_dropout, resident=resident)
     e = receivers.shape[0]
     acc_t, cap_o, code_o = pl.pallas_call(
         kernel,
@@ -344,7 +377,8 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
         cost_estimate=pl.CostEstimate(
             flops=2 * (e + eb) * (2 * window * nh8 + window * nhfl
                                   + 2 * nb * (nhf8 + nh8)),
-            bytes_accessed=2 * t * window * nhfl * 4
+            bytes_accessed=(1 if resident else 2 * t)
+            * window * nhfl * 4
             + 2 * (e + eb) * meta.shape[0] * 4
             + n_pad * (nhf8 + nh8) * 4,
             transcendentals=(e + eb) * nh8),
@@ -373,7 +407,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                    sems, msems, wsems, rsems,
                    *, eb: int, nb: int, nh: int, f: int, nh8: int,
                    nhf8: int, nhfl: int, w: int, eps: float,
-                   slope: float, with_dropout: bool):
+                   slope: float, with_dropout: bool, resident: bool):
     i = pl.program_id(0)
     t = pl.num_programs(0)
     lo = (tile_off_ref[i] // eb) * eb
@@ -398,21 +432,32 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         preferred_element_type=jnp.float32)
     d_den = -outg_h * inv_d
 
-    def dma_w(slot, gi):
-        base = pl.multiple_of((base_ref[gi] // 8) * 8, 8)
-        return pltpu.make_async_copy(h_hbm.at[pl.ds(base, w), :],
-                                     wbuf.at[slot], sems.at[slot])
+    if resident:
+        # whole-table window: one DMA in, d(h) accumulated fully in VMEM
+        # and written back ONCE at the last tile (no per-tile readback)
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(h_hbm.at[pl.ds(0, w), :],
+                                       wbuf.at[0], sems.at[0])
+            cp.start()
+            cp.wait()
+        win = wbuf[0].astype(jnp.float32)                   # (W, NHFL)
+    else:
+        def dma_w(slot, gi):
+            base_g = pl.multiple_of((base_ref[gi] // 8) * 8, 8)
+            return pltpu.make_async_copy(h_hbm.at[pl.ds(base_g, w), :],
+                                         wbuf.at[slot], sems.at[slot])
 
-    @pl.when(i == 0)
-    def _():
-        dma_w(0, 0).start()
+        @pl.when(i == 0)
+        def _():
+            dma_w(0, 0).start()
 
-    @pl.when(i + 1 < t)
-    def _():
-        dma_w((i + 1) % 2, i + 1).start()
+        @pl.when(i + 1 < t)
+        def _():
+            dma_w((i + 1) % 2, i + 1).start()
 
-    dma_w(i % 2, i).wait()
-    win = wbuf[i % 2].astype(jnp.float32)                   # (W, NHFL)
+        dma_w(i % 2, i).wait()
+        win = wbuf[i % 2].astype(jnp.float32)               # (W, NHFL)
     win_t = win.T
     s_src_win = jax.lax.dot_general(
         a_src_t, win_t, (((0,), (0,)), ((), ())),
@@ -420,7 +465,12 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
     base = pl.multiple_of((base_ref[i] // 8) * 8, 8)
     base_f = base.astype(jnp.float32)
 
-    dwin[:] = jnp.zeros_like(dwin)
+    if resident:
+        @pl.when(i == 0)
+        def _():
+            dwin[:] = jnp.zeros_like(dwin)
+    else:
+        dwin[:] = jnp.zeros_like(dwin)
 
     def dma_m(slot, b):
         start = pl.multiple_of(lo + b * eb, eb)
@@ -467,8 +517,10 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         in_range = col < e_real
         ex = jnp.where(in_range, ex, 0.0)
 
+        dt = _v6_dtype()
         gathered_t = jax.lax.dot_general(
-            win_t, onehot_w, (((1,), (0,)), ((), ())),
+            win_t.astype(dt), onehot_w.astype(dt),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (NHFL, EB)
         h_t = gathered_t[:nhf8]
 
@@ -510,14 +562,16 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         # d(h) scattered into the WINDOW accumulator — the one-hot's
         # transpose is the scatter (no permute, no sorted-segment pass)
         dwin[:] += jax.lax.dot_general(
-            onehot_w, d_h_full, (((1,), (1,)), ((), ())),
+            onehot_w.astype(dt), d_h_full.astype(dt),
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (W, NHFL)
 
         dsdst_ref[:] += jax.lax.dot_general(
             d_raw, onehot_dst, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (NH8, NB)
         dasrc_ref[:] += jax.lax.dot_general(
-            gathered_t, d_raw, (((1,), (1,)), ((), ())),
+            gathered_t.astype(dt), d_raw.astype(dt),
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (NHFL, NH8)
         slot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
                   & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -547,18 +601,27 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
 
     jax.lax.fori_loop(0, nblocks, body, 0)
 
-    # read-add-write this tile's d(h) window. Windows of consecutive
-    # tiles overlap, but the TPU grid is sequential and both DMAs below
-    # complete before the next tile starts — no hazard.
-    rd = pltpu.make_async_copy(dtab_hbm.at[pl.ds(base, w), :], rwin,
-                               rsems.at[0])
-    rd.start()
-    rd.wait()
-    rwin[:] += dwin[:]
-    wr = pltpu.make_async_copy(rwin, dtab_hbm.at[pl.ds(base, w), :],
-                               wsems.at[2])
-    wr.start()
-    wr.wait()
+    if resident:
+        # d(h) lives fully in VMEM across tiles: write once at the end
+        @pl.when(i == t - 1)
+        def _():
+            wr = pltpu.make_async_copy(dwin, dtab_hbm.at[pl.ds(0, w), :],
+                                       wsems.at[2])
+            wr.start()
+            wr.wait()
+    else:
+        # read-add-write this tile's d(h) window. Windows of consecutive
+        # tiles overlap, but the TPU grid is sequential and both DMAs
+        # below complete before the next tile starts — no hazard.
+        rd = pltpu.make_async_copy(dtab_hbm.at[pl.ds(base, w), :], rwin,
+                                   rsems.at[0])
+        rd.start()
+        rd.wait()
+        rwin[:] += dwin[:]
+        wr = pltpu.make_async_copy(rwin, dtab_hbm.at[pl.ds(base, w), :],
+                                   wsems.at[2])
+        wr.start()
+        wr.wait()
 
 
 def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
@@ -575,6 +638,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
     nhfl = h8.shape[1]
     n_rows = h8.shape[0]
     e_cols = meta.shape[1]
+    resident = window == n_rows
 
     def node_t(a, rows):
         a_t = a.T
@@ -625,11 +689,13 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
                          memory_space=pltpu.VMEM),              # d_cap
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, window, nhfl), h8.dtype),            # wbuf
+            pltpu.VMEM((1 if resident else 2, window, nhfl),
+                       h8.dtype),                               # wbuf
             pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),    # mbuf
             pltpu.VMEM((window, nhfl), jnp.float32),            # dwin
             pltpu.VMEM((2, nh8, eb), jnp.float32),              # dmbuf
-            pltpu.VMEM((window, nhfl), jnp.float32),            # rwin
+            pltpu.VMEM((8, 128) if resident else (window, nhfl),
+                       jnp.float32),                # rwin (unused resident)
             pltpu.VMEM((nh8, eb), jnp.float32),                 # rmbuf
             pltpu.SemaphoreType.DMA((2,)),                      # window in
             pltpu.SemaphoreType.DMA((2,)),                      # meta in
@@ -640,7 +706,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
     kernel = functools.partial(
         _kernel_v6_bwd, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
-        with_dropout=with_dropout)
+        with_dropout=with_dropout, resident=resident)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -656,7 +722,8 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
         cost_estimate=pl.CostEstimate(
             flops=2 * (e + eb) * (2 * window * nh8 + 2 * window * nhfl
                                   + 3 * nb * (nhf8 + nh8)),
-            bytes_accessed=t * (3 * window * nhfl) * 4
+            bytes_accessed=(2 if resident else 3 * t)
+            * window * nhfl * 4
             + 2 * (e + eb) * meta.shape[0] * 4
             + n_pad * (2 * nhf8 + 2 * nh8) * 4,
             transcendentals=(e + eb) * nh8),

@@ -285,6 +285,7 @@ def test_v6_model_path_matches_default(monkeypatch):
         monkeypatch.delenv("GAT_TPU_BACKEND", raising=False)
         base, gbase = jax.value_and_grad(loss)(params)
         monkeypatch.setenv("GAT_TPU_V6", "1")
+        monkeypatch.setenv("GAT_TPU_V6_DTYPE", "float32")
         monkeypatch.setenv("GAT_TPU_BACKEND", "pallas")
         v6, gv6 = jax.value_and_grad(loss)(params)
         np.testing.assert_allclose(float(v6), float(base),
