@@ -172,6 +172,36 @@ def scale_workload(num_nodes=500_000, avg_degree=10, features=64):
     return cfg, graph, make_task("PPI"), 1e-3, 0.0
 
 
+def banded_workload(num_nodes=500_000, avg_degree=10, features=64,
+                    band=1024):
+    """Large BANDED graph: same size/model as scale_workload but senders
+    drawn within `band` of their receiver — the locality class (meshes,
+    road networks, RCM-reordered matrices) where the v6 windowed-gather
+    kernel eliminates both random node<->edge row crossings. The random
+    scale_workload remains the worst case (no reordering can compress an
+    expander's bandwidth; its sol is capped by the 4 KB/row random-access
+    tile tax — docs/PERF.md round-2 close); this one shows the framework
+    at speed on structured graphs, canonicalize(src_windows=True)."""
+    from gat_pytorch_tpu.graph import transforms as T
+    from gat_pytorch_tpu.models.gat import GATConfig
+    from gat_pytorch_tpu.train.tasks import make_task
+    rng = np.random.default_rng(2)
+    e = int(num_nodes * avg_degree)
+    receivers = rng.integers(0, num_nodes, e)
+    senders = np.clip(
+        receivers + rng.integers(-band // 2, band // 2, e),
+        0, num_nodes - 1)
+    x = rng.normal(size=(num_nodes, features)).astype(np.float32)
+    y = (rng.random((num_nodes, 8)) > 0.5).astype(np.float32)
+    graph = T.canonicalize(x, senders, receivers, y=y, src_windows=True)
+    cfg = GATConfig(
+        num_input_node_features=features, num_layers=2,
+        num_heads_per_layer=[8, 8], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[features, 16, 8],
+        num_classes=8, add_skip_connection=[False, False], dropout=0.0)
+    return cfg, graph, make_task("PPI"), 1e-3, 0.0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure_baseline", action="store_true",
@@ -227,6 +257,18 @@ def main() -> None:
             eps2 / roofline_edges_per_s(n2, e2, cfg2), 4)
         out["scale_sol_tile"] = round(
             eps2 / roofline_tile_edges_per_s(n2, e2, cfg2), 4)
+
+        cfg3, graph3, task3, lr3, l23 = banded_workload()
+        dt3 = measure_train_step(cfg3, graph3, task3, lr3, l23,
+                                 s_inner, s_iters)
+        e3 = int(np.asarray(graph3.edge_mask).sum())
+        n3 = int(np.asarray(graph3.node_mask).sum())
+        eps3 = cfg3.num_layers * e3 / dt3
+        out["banded_edges_per_s"] = round(eps3, 1)
+        # v6 pays no random row crossings on banded graphs, so the honest
+        # denominator is the payload roofline itself (no tile-tax floor)
+        out["banded_sol_fraction"] = round(
+            eps3 / roofline_edges_per_s(n3, e3, cfg3), 4)
 
     print(json.dumps(out))
 

@@ -52,6 +52,24 @@ Params = Dict[str, Any]
 _VALID_BACKENDS = ("auto", "xla", "pallas", "naive")
 
 
+def _rbg_key(rng):
+    """Hardware-RNG key for dropout masks. Threefry random bits are the
+    dominant dropout cost on TPU (~0.1 ms/step attention masks + ~0.2 ms
+    feature masks at Cora scale — benchmarks/probe_dropout_tax.py); the
+    rbg implementation lowers to the TPU RngBitGenerator instruction and
+    is supported on CPU too, so tests stay hermetic. Deterministic per
+    input key (distinct threefry keys map to distinct rbg seeds).
+    GAT_TPU_RBG_DROPOUT=0 keeps threefry end-to-end."""
+    import os
+    if os.environ.get("GAT_TPU_RBG_DROPOUT", "1") == "0":
+        return rng
+    kd = jax.random.key_data(rng)
+    if kd.shape[-1] == 4:                 # already a 4-word (rbg) key
+        return rng
+    return jax.random.wrap_key_data(
+        jnp.concatenate([kd, kd], axis=-1), impl="rbg")
+
+
 def _resolve_backend(backend: str) -> str:
     if backend not in _VALID_BACKENDS:
         raise ValueError(f"backend must be one of {_VALID_BACKENDS}")
@@ -299,8 +317,21 @@ def gat_layer_apply(params: Params,
         # slot + the dwin accumulator, no per-tile readback buffer
         per_row = 8 if w >= n_rows8 else 16
         fits = per_row * w * nhfl <= budget
+        # auto gate: the one-hot gather/scatter contractions cost
+        # O(w * nhfl) MXU flops PER EDGE, so v6 only beats v5's 4 KB/row
+        # random-crossing tax for NARROW windows. Measured in-situ
+        # (benchmarks/probe_v6_insitu.py + window_bench, v5e): banded
+        # w=1536/nhfl=128 is +4% over v5; whole-table-resident Cora
+        # (w=2816) is -44% on the full train step despite winning the
+        # no-dropout forward microbench. Auto therefore requires a
+        # BANDED certification (tile_lo) and w*nhfl below ~200k lanes;
+        # GAT_TPU_V6=1 forces on anywhere (e.g. for A/B runs).
+        narrow = (tile_lo is not None and w < n_rows8
+                  and w * nhfl <= int(_os.environ.get(
+                      "GAT_TPU_V6_MAX_WL", str(200 * 1024))))
         v6_on = fits and (_v6_env == "1"
-                          or (_v6_env == "auto" and E >= 4096))
+                          or (_v6_env == "auto" and narrow
+                              and E >= 4096))
         if v6_on:
             from ..utils.platform import is_tpu_backend
             interpret = not is_tpu_backend()
@@ -747,7 +778,11 @@ def init_gat_model(key: jax.Array, cfg: GATConfig) -> Params:
 def _dropout(x, rate, rng, training):
     if not training or rate <= 0.0:
         return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    # feature masks are the big draws (N x 1433 at Cora layer 1) — the
+    # rbg hardware-RNG path halves their cost; the small (E, NH)
+    # attention masks stay threefry (conversion overhead dominates
+    # there — probe_dropout_tax.py)
+    keep = jax.random.bernoulli(_rbg_key(rng), 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
