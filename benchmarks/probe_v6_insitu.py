@@ -26,15 +26,11 @@ def main() -> None:
     cfg, graph, task, lr, l2 = bench.cora_workload()
     import numpy as np
     e_real = int(np.asarray(graph.edge_mask).sum())
-    cases = [
-        # (v6, dropout, rbg) — "auto" checks the re-gated default stays
-        # on v5 at Cora; rbg toggles the hardware-RNG feature masks
-        ("0", 0.0, "1"),
-        ("0", 0.6, "0"),
-        ("0", 0.6, "1"),
-        ("auto", 0.6, "1"),
-        ("1", 0.0, "1"),
-    ]
+    env_cases = os.environ.get(
+        "GAT_TPU_PROBE_CASES",
+        "0:0.0:1,0:0.6:0,0:0.6:1,auto:0.6:1,1:0.0:1")
+    cases = [(v, float(d), r) for v, d, r in
+             (c.split(":") for c in env_cases.split(","))]
     for v6, dropout, rbg in cases:
         os.environ["GAT_TPU_V6"] = v6
         os.environ["GAT_TPU_RBG_DROPOUT"] = rbg

@@ -778,11 +778,9 @@ def init_gat_model(key: jax.Array, cfg: GATConfig) -> Params:
 def _dropout(x, rate, rng, training):
     if not training or rate <= 0.0:
         return x
-    # feature masks are the big draws (N x 1433 at Cora layer 1) — the
-    # rbg hardware-RNG path halves their cost; the small (E, NH)
-    # attention masks stay threefry (conversion overhead dominates
-    # there — probe_dropout_tax.py)
-    keep = jax.random.bernoulli(_rbg_key(rng), 1.0 - rate, x.shape)
+    # gat_model_apply hands this an rbg key (one conversion up front);
+    # direct callers with threefry keys still work, just slower
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
@@ -810,6 +808,11 @@ def gat_model_apply(params: Params,
     if training and cfg.dropout > 0.0 and rng is None:
         raise ValueError(
             "gat_model_apply(training=True) with dropout > 0 requires `rng`")
+    # ONE threefry->rbg key conversion up front makes every downstream
+    # split / fold_in / bernoulli rbg-native (TPU RngBitGenerator):
+    # threefry mask generation measured 0.19 ms/step of the Cora train
+    # step (benchmarks/probe_dropout_tax.py, probe_v6_insitu.py)
+    rng = _rbg_key(rng) if rng is not None else None
     rngs = (jax.random.split(rng, 2 * n_layers)
             if rng is not None else [None] * (2 * n_layers))
 

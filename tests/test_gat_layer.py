@@ -298,3 +298,42 @@ def test_v6_model_path_matches_default(monkeypatch):
                                        rtol=0, atol=3e-5)
         monkeypatch.delenv("GAT_TPU_V6", raising=False)
         monkeypatch.delenv("GAT_TPU_BACKEND", raising=False)
+
+
+def test_v6_auto_gate_requires_banded_window(monkeypatch):
+    """v6 auto mode only engages for banded-certified narrow windows:
+    whole-table-resident v6 measured -44% on the full Cora train step
+    (docs/PERF.md round 3), so GAT_TPU_V6=auto must NOT route a plain
+    (uncertified) graph through fused_gat_window even with the pallas
+    backend, while GAT_TPU_V6=1 still forces it."""
+    from gat_pytorch_tpu.ops.pallas import segment_attention_window as fsw
+
+    n, f_in = 600, 6
+    g = make_random_graph(11, n, 8.0, f_in)  # > 4096 edges after loops
+    cfg = gat.GATConfig(
+        num_input_node_features=f_in, num_layers=1,
+        num_heads_per_layer=[2], heads_concat_per_layer=[False],
+        head_output_features_per_layer=[f_in, 4], num_classes=4,
+        add_skip_connection=[False], dropout=0.0)
+    params = gat.init_gat_model(jax.random.key(0), cfg)
+    graph = T.canonicalize(g.x, g.senders, g.receivers)
+    assert int(np.asarray(graph.edge_mask).sum()) >= 4096
+
+    calls = []
+    orig = fsw.fused_gat_window
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fsw, "fused_gat_window", spy)
+    monkeypatch.setenv("GAT_TPU_BACKEND", "pallas")
+    monkeypatch.setenv("GAT_TPU_V6_DTYPE", "float32")
+
+    monkeypatch.setenv("GAT_TPU_V6", "auto")
+    gat.gat_model_apply(params, cfg, graph)
+    assert not calls, "auto mode must not take v6 without tile_lo"
+
+    monkeypatch.setenv("GAT_TPU_V6", "1")
+    gat.gat_model_apply(params, cfg, graph)
+    assert calls, "GAT_TPU_V6=1 must force the v6 path"
