@@ -25,6 +25,67 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def project(argv_ns) -> int:
+    """ICI-roofline scaling projection from measured quantities.
+
+    Multi-chip hardware is absent in this container (SURVEY §5.8 /
+    BASELINE north star: >=70% edges/s scaling efficiency on a 2-host
+    slice), so this computes the projected efficiency analytically from
+    two MEASURED inputs: the single-chip step time (--t1_ms, e.g.
+    bench.py's 5M-edge step) and the per-chip collective bytes the
+    compiled sharded program moves (HLO-counted by the --simulate run;
+    for the dst-owner layout that is one all_gather of (N, nh*f) output
+    slices per layer forward + its reduce_scatter transpose backward).
+
+        efficiency(K) = T1/K / (T1/K + comm_bytes(K) / BW)
+
+    BW defaults: --ici_gbs 90 (v5e ~1600 Gbit/s/chip aggregate across
+    links; ~90 GB/s usable unidirectional ring bandwidth is the
+    conservative public planning number), --dcn_gbs 25 per host for the
+    2-host case (inter-host fraction of the ring crosses DCN)."""
+    t1 = argv_ns.t1_ms * 1e-3
+    n, nhf = argv_ns.nodes, argv_ns.nhf
+    layers = 2
+    rows = []
+    for k in argv_ns.widths:
+        # per-chip received bytes per step: fwd all_gather + bwd
+        # reduce_scatter per layer, (K-1)/K of the (N, nhf) f32 output
+        bytes_per_chip = 2 * layers * (k - 1) / k * n * nhf * 4
+        bw = argv_ns.ici_gbs * 1e9
+        mode = "edge_ici"
+        if argv_ns.hosts > 1 and argv_ns.dp_across_hosts:
+            # production 2-host shape: mesh (data=hosts, edge=K) — the
+            # edge-axis all_gathers stay on ICI within each host and the
+            # only DCN traffic is the gradient psum (~param bytes,
+            # negligible next to the activations). Per-chip throughput
+            # therefore matches the single-host edge=K row while total
+            # throughput multiplies by hosts.
+            mode = "dp_hosts_x_edge_ici"
+            t_comm = (bytes_per_chip / bw
+                      + argv_ns.grad_mb * 2**20
+                      / (argv_ns.dcn_gbs * 1e9))
+        elif argv_ns.hosts > 1:
+            # naive edge axis spanning hosts: the ring slice crossing
+            # DCN throttles — kept as the counter-example
+            mode = "edge_spanning_dcn"
+            t_comm = (bytes_per_chip * (1 - 1 / argv_ns.hosts) / bw
+                      + bytes_per_chip / argv_ns.hosts
+                      / (argv_ns.dcn_gbs * 1e9))
+        else:
+            t_comm = bytes_per_chip / bw
+        t_k = t1 / k + t_comm
+        rows.append({
+            "projected": True, "mode": mode, "edge_axis": k,
+            "hosts": argv_ns.hosts, "t1_ms": argv_ns.t1_ms,
+            "comm_mb_per_chip": round(bytes_per_chip / 2**20, 2),
+            "ms_per_step": round(t_k * 1e3, 3),
+            "scaling_efficiency": round((t1 / k) / t_k, 4),
+        })
+    for r in rows:
+        print(json.dumps(r), flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--simulate", type=int, default=None,
@@ -38,7 +99,27 @@ def main(argv=None) -> int:
                    help="cut: equal edge slices + psum completion; "
                         "dst_owned: boundary-free partition, one "
                         "all_gather/layer (parallel/partition.py)")
+    p.add_argument("--project", action="store_true",
+                   help="print the analytic ICI scaling projection "
+                        "instead of running (see project.__doc__)")
+    p.add_argument("--t1_ms", type=float, default=277.0,
+                   help="measured single-chip ms/step (bench.py 5M)")
+    p.add_argument("--nhf", type=int, default=128,
+                   help="widest layer nh*f for the collective volume")
+    p.add_argument("--widths", type=int, nargs="+",
+                   default=[2, 4, 8, 16])
+    p.add_argument("--hosts", type=int, default=1)
+    p.add_argument("--dp_across_hosts", action="store_true",
+                   help="2-host shape: DP over DCN x edge over ICI")
+    p.add_argument("--grad_mb", type=float, default=0.2,
+                   help="parameter-gradient MB for the DCN psum")
+    p.add_argument("--ici_gbs", type=float, default=90.0)
+    p.add_argument("--dcn_gbs", type=float, default=25.0)
     args = p.parse_args(argv)
+    if args.project:
+        if args.nodes == 4096:
+            args.nodes = 500_000   # default projection target: bench 5M
+        return project(args)
 
     if args.simulate:
         os.environ["JAX_PLATFORMS"] = "cpu"
