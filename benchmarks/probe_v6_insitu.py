@@ -28,17 +28,22 @@ def main() -> None:
     e_real = int(np.asarray(graph.edge_mask).sum())
     env_cases = os.environ.get(
         "GAT_TPU_PROBE_CASES",
-        "0:0.0:1,0:0.6:0,0:0.6:1,auto:0.6:1,1:0.0:1")
-    cases = [(v, float(d), r) for v, d, r in
-             (c.split(":") for c in env_cases.split(","))]
-    for v6, dropout, rbg in cases:
+        "0:0.0:1:1,0:0.6:0:1,0:0.6:1:1,auto:0.6:1:1,1:0.0:1:1")
+    cases = [tuple(c.split(":")) for c in env_cases.split(",")]
+    for case in cases:
+        v6, dropout, rbg = case[0], float(case[1]), case[2]
+        merged = case[3] if len(case) > 3 else "1"
+        gemm = case[4] if len(case) > 4 else "float32"
         os.environ["GAT_TPU_V6"] = v6
         os.environ["GAT_TPU_RBG_DROPOUT"] = rbg
+        os.environ["GAT_TPU_V5_MERGED"] = merged
+        os.environ["GAT_TPU_GEMM_DTYPE"] = gemm
         c = dataclasses.replace(cfg, dropout=dropout)
         dt = bench.measure_train_step(c, graph, task, lr, l2,
                                       inner, iters)
         print(json.dumps({
-            "v6": v6, "dropout": dropout, "rbg": rbg,
+            "v6": v6, "dropout": dropout, "rbg": rbg, "merged": merged,
+            "gemm": gemm,
             "ms_per_step": round(dt * 1e3, 4),
             "edges_per_s": round(c.num_layers * e_real / dt, 1),
         }), flush=True)

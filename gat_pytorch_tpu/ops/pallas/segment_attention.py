@@ -1244,6 +1244,241 @@ def _cap_v5(h_src, meta, a_pad, s_dst, receivers, e_real, num_nodes,
     return cap, code
 
 
+def _kernel_v5_auto(pref_ref,          # (T+2,) int32: tile offsets | e_real
+                    h_hbm,             # (E_cols, NHFL) row-major rows
+                    meta_hbm,          # (MR, E_cols): [drop rows?] recv row
+                    a_src_ref,         # (NHFL, NH8) VMEM whole
+                    s_dst_ref,         # (NH8, NB) VMEM per tile (i % T)
+                    acc_ref,           # (NHF8+NH8, NB) VMEM out per tile
+                    cap_ref, code_ref,  # (8, 128) VMEM outs, constant index
+                    hbuf, mbuf, sems, capacc, codeacc,
+                    *, eb: int, nb: int, nh: int, f: int, nh8: int,
+                    nhf8: int, nhfl: int, eps: float, slope: float,
+                    with_dropout: bool):
+    """Merged autocap forward: ONE launch instead of cap-kernel + main
+    kernel. grid = (2T,): tiles [0, T) stream the edge blocks computing
+    the running global (max, argmax-code) of the raw logits into
+    persistent VMEM scratch (the TPU grid is sequential), tiles [T, 2T)
+    run the attention with the completed cap — the 2-phase pattern
+    proven on-chip by the v6 windowed kernel
+    (segment_attention_window._kernel_v6). Saves two Mosaic launches +
+    the XLA cap-reduction glue per layer (the Cora-scale step is
+    launch-bound — docs/PERF.md round 3 profile)."""
+    i = pl.program_id(0)
+    t = pl.num_programs(0) // 2
+    ti = jax.lax.rem(i, t)
+    phase = i // t
+    lo = (pref_ref[ti] // eb) * eb
+    hi = pref_ref[ti + 1]
+    e_real = pref_ref[t + 1]
+    nblocks = pl.cdiv(hi - lo, eb)
+
+    exp_rows = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 0)
+    exp_cols = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 1)
+    expander = ((exp_cols // f == exp_rows)
+                & (exp_rows < nh) & (exp_cols < nh * f)).astype(jnp.float32)
+    a_src_t = a_src_ref[:].astype(jnp.float32)              # (NHFL, NH8)
+
+    @pl.when(i == 0)
+    def _():
+        capacc[:] = jnp.full_like(capacc, NEG_INF)
+        codeacc[:] = jnp.full_like(codeacc, _I32_MAX)
+
+    def dma_h(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(h_hbm.at[pl.ds(start, eb), :],
+                                     hbuf.at[slot], sems.at[slot, 0])
+
+    def dma_m(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
+                                     mbuf.at[slot], sems.at[slot, 1])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma_h(0, 0).start()
+        dma_m(0, 0).start()
+
+    def edge_inputs(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        hb = hbuf[slot].astype(jnp.float32)                 # (EB, NHFL)
+        meta = mbuf[slot]
+        recv_at = nh8 if with_dropout else 0
+        recv_row = meta[recv_at:recv_at + 1, :]             # (1, EB)
+        rows = (ti * nb
+                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                ).astype(jnp.float32)
+        onehot_t = (recv_row == rows).astype(jnp.float32)   # (NB, EB)
+        s_src = jax.lax.dot_general(
+            a_src_t, hb, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NH8, EB)
+        s_dst_e = jax.lax.dot_general(
+            s_dst_ref[:], onehot_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NH8, EB)
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
+        return hb, meta, recv_row, onehot_t, s_src, s_dst_e, col
+
+    def cap_body(b, carry):
+        vmax, vcode = carry
+        slot = b % 2
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_h((b + 1) % 2, b + 1).start()
+            dma_m((b + 1) % 2, b + 1).start()
+
+        dma_h(slot, b).wait()
+        dma_m(slot, b).wait()
+        (_, _, recv_row, _, s_src, s_dst_e, col) = edge_inputs(slot, b)
+        raw = s_src + s_dst_e
+        head = jax.lax.broadcasted_iota(jnp.int32, (nh8, eb), 0)
+        in_tile = ((recv_row >= ti * nb) & (recv_row < ti * nb + nb))
+        valid = (head < nh) & (col < e_real) & in_tile
+        masked = jnp.where(valid, raw, NEG_INF)
+        code = col * nh8 + head
+        bm = jnp.max(masked)
+        bcode = jnp.min(jnp.where(masked == bm, code, _I32_MAX))
+        tie = jnp.where(bm == vmax, jnp.minimum(bcode, vcode), vcode)
+        return (jnp.maximum(vmax, bm),
+                jnp.where(bm > vmax, bcode, tie))
+
+    def main_body(b, _):
+        slot = b % 2
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_h((b + 1) % 2, b + 1).start()
+            dma_m((b + 1) % 2, b + 1).start()
+
+        dma_h(slot, b).wait()
+        dma_m(slot, b).wait()
+        (hb, meta, _, onehot_t, s_src, s_dst_e, col) = edge_inputs(slot, b)
+        h_t = hb.T[:nhf8]
+        cap = jnp.max(capacc[:])
+        pre = (s_src + s_dst_e) - cap
+        lgt = jnp.where(pre >= 0.0, pre, slope * pre)
+        ex = jnp.exp(lgt)
+        ex = jnp.where(col < e_real, ex, 0.0)               # (NH8, EB)
+
+        num_t = ex
+        if with_dropout:
+            num_t = num_t * meta[0:nh8, :]
+        num_wide = jax.lax.dot_general(
+            expander, num_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHF8, EB)
+        weighted_t = h_t * num_wide
+        dt = _matmul_dtype()
+        combined = jnp.concatenate([weighted_t, ex], axis=0).astype(dt)
+        acc_ref[:] += jax.lax.dot_general(
+            combined, onehot_t.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (NHF8+NH8, NB)
+        return 0
+
+    @pl.when(phase == 0)
+    def _():
+        vmax, vcode = jax.lax.fori_loop(
+            0, nblocks, cap_body,
+            (jnp.float32(NEG_INF), _I32_MAX * jnp.int32(1)))
+        old = capacc[0, 0]
+        oldc = codeacc[0, 0]
+        newc = jnp.where(vmax > old, vcode,
+                         jnp.where(vmax == old,
+                                   jnp.minimum(vcode, oldc), oldc))
+        slot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
+                  & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                     == 0))
+        capacc[:] = jnp.where(slot00, jnp.maximum(old, vmax), NEG_INF)
+        codeacc[:] = jnp.where(slot00, newc, _I32_MAX)
+
+    @pl.when(phase == 1)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        jax.lax.fori_loop(0, nblocks, main_body, 0)
+        d = acc_ref[nhf8:, :]
+        inv = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
+        inv_wide = jax.lax.dot_general(
+            expander, inv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:nhf8, :] = acc_ref[:nhf8, :] * inv_wide
+
+    cap_ref[:] = capacc[:]
+    code_ref[:] = codeacc[:]
+
+
+def _forward_v5_auto(h_src, meta, a_pad, s_dst, receivers, e_real,
+                     num_nodes, nh, f, *, eps, slope, eb, nb, interpret,
+                     with_dropout):
+    """Merged-cap forward: (out, denom, cap, code) in one launch."""
+    t = pl.cdiv(num_nodes, nb)
+    n_pad = t * nb
+    nh8 = _round_up(nh, 8)
+    nhf8 = _round_up(nh * f, 8)
+    nhfl = h_src.shape[1]
+
+    s_dst_t = jnp.pad(s_dst.T, ((0, nh8 - nh), (0, n_pad - num_nodes)))
+    bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
+    tile_off = jnp.searchsorted(receivers, bounds, side="left"
+                                ).astype(jnp.int32)
+    pref = jnp.concatenate([tile_off, e_real[None].astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(2 * t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # h_src
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # meta
+            pl.BlockSpec((nhfl, nh8), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),             # a_pad
+            pl.BlockSpec((nh8, nb), lambda i, *_: (0, jax.lax.rem(i, t)),
+                         memory_space=pltpu.VMEM),             # s_dst_t
+        ],
+        out_specs=[
+            pl.BlockSpec((nhf8 + nh8, nb),
+                         lambda i, *_: (0, jax.lax.rem(i, t)),
+                         memory_space=pltpu.VMEM),             # acc
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),             # cap
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),             # code
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, eb, nhfl), h_src.dtype),
+            pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((8, 128), jnp.float32),                 # capacc
+            pltpu.VMEM((8, 128), jnp.int32),                   # codeacc
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_v5_auto, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
+        nhfl=nhfl, eps=eps, slope=slope, with_dropout=with_dropout)
+    e = receivers.shape[0]
+    acc_t, cap_o, code_o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nhf8 + nh8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 5 * (e + eb) * nb * (nhf8 + nh8),
+            bytes_accessed=2 * (e + eb) * (nhfl + meta.shape[0]) * 4
+            + n_pad * (nhf8 + nh8) * 4,
+            transcendentals=(e + eb) * nh8),
+        interpret=interpret,
+    )(pref, h_src, meta, a_pad, s_dst_t)
+    return (acc_t[:nh * f].T[:num_nodes],
+            acc_t[nhf8:nhf8 + nh].T[:num_nodes],
+            cap_o[0, 0], code_o[0, 0])
+
+
+def _v5_merged_cap() -> bool:
+    """Merged 2-phase autocap forward (one launch) unless disabled."""
+    import os
+    return os.environ.get("GAT_TPU_V5_MERGED", "1") != "0"
+
+
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
 def fused_gat_table_autocap(h_flat, a_src, s_dst, drop_mask,
@@ -1274,13 +1509,20 @@ def _fgta_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
         h_flat, a_src, s_dst, senders, receivers, e_real, nh, f, eb, nb)
     meta = _pack_meta_v5(drop_mask, receivers, nh8, eb)
     with_dropout = drop_mask is not None
-    cap, code = _cap_v5(h_src, meta, a_pad, s_dst, receivers, e_real,
-                        num_nodes, nh, eb=eb, nb=nb, interpret=interpret,
-                        with_dropout=with_dropout)
-    out, denom = _forward_v5(
-        h_src, meta, a_pad, s_dst, cap, receivers, e_real, num_nodes,
-        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, interpret=interpret,
-        with_dropout=with_dropout)
+    if _v5_merged_cap():
+        out, denom, cap, code = _forward_v5_auto(
+            h_src, meta, a_pad, s_dst, receivers, e_real, num_nodes,
+            nh, f, eps=eps, slope=slope, eb=eb, nb=nb,
+            interpret=interpret, with_dropout=with_dropout)
+    else:
+        cap, code = _cap_v5(h_src, meta, a_pad, s_dst, receivers, e_real,
+                            num_nodes, nh, eb=eb, nb=nb,
+                            interpret=interpret,
+                            with_dropout=with_dropout)
+        out, denom = _forward_v5(
+            h_src, meta, a_pad, s_dst, cap, receivers, e_real, num_nodes,
+            nh, f, eps=eps, slope=slope, eb=eb, nb=nb, interpret=interpret,
+            with_dropout=with_dropout)
     return out, (h_src, meta, a_pad, s_dst, cap, code, senders,
                  receivers, src_order, e_real, denom, out, with_dropout)
 

@@ -301,9 +301,11 @@ def test_v5_in_kernel_logits_matches_oracle(with_dropout, nh, f):
                                    rtol=1e-4, atol=1e-4, err_msg=nm)
 
 
+@pytest.mark.parametrize("merged", ["0", "1"])
 @pytest.mark.parametrize("with_dropout", [False, True])
 @pytest.mark.parametrize("nh,f", [(2, 8), (8, 16), (6, 121)])
-def test_v5_autocap_matches_jnp_max_oracle(with_dropout, nh, f):
+def test_v5_autocap_matches_jnp_max_oracle(with_dropout, nh, f, merged,
+                                           monkeypatch):
     """fused_gat_table_autocap: the global logit max-cap computed by the
     in-kernel pre-pass (value + argmax code) must match an oracle that
     caps with jnp.max and differentiates straight through it. Gradients
@@ -311,6 +313,7 @@ def test_v5_autocap_matches_jnp_max_oracle(with_dropout, nh, f):
     (cap >= all raw logits puts every edge in one LeakyReLU linear
     region, so a per-segment s_dst shift cancels in the softmax) and a
     relative metric would just amplify noise."""
+    monkeypatch.setenv("GAT_TPU_V5_MERGED", merged)
     rng = np.random.default_rng(3)
     n, e_real, pad = 256, 1500, 36
     e = e_real + pad
