@@ -70,6 +70,24 @@ def _rbg_key(rng):
         jnp.concatenate([kd, kd], axis=-1), impl="rbg")
 
 
+def _gemm_dtype():
+    """Input dtype for the feature-transform GEMM (x @ W) and the skip
+    projections. bfloat16 inputs halve the HBM traffic of every pass
+    over the node-feature matrix (Cora: 16 MB f32 read 5x per step —
+    docs/PERF.md round-3 profile) and run the MXU's native single-pass
+    path; accumulation stays f32 via preferred_element_type. Rounds
+    x/W to 8-bit mantissas, so checkpoint-activation parity needs f32:
+    opt in with GAT_TPU_GEMM_DTYPE=bfloat16 (read at trace time).
+    Measured a WASH on the Cora train step (probe_v6_insitu round 4:
+    0.44-0.49 ms both dtypes — the step is launch-latency-bound, not
+    feature-bandwidth-bound), so it stays opt-in; accuracy at bf16 is
+    pinned by tests/test_training.py's bf16 convergence test."""
+    import os
+    return (jnp.bfloat16
+            if os.environ.get("GAT_TPU_GEMM_DTYPE") == "bfloat16"
+            else jnp.float32)
+
+
 def _resolve_backend(backend: str) -> str:
     if backend not in _VALID_BACKENDS:
         raise ValueError(f"backend must be one of {_VALID_BACKENDS}")
@@ -272,17 +290,18 @@ def gat_layer_apply(params: Params,
     # is minimal collective traffic (one out all_gather per layer), and a
     # redundant GEMM is cheap next to the h all_gather + its backward
     # reduce_scatter it eliminates (GAT GEMMs are narrow).
+    gdt = _gemm_dtype()
     if (edge_axis is not None and not dst_owned
             and num_nodes % jax.lax.axis_size(edge_axis) == 0):
         k = jax.lax.axis_size(edge_axis)
         rows = num_nodes // k
         x_local = jax.lax.dynamic_slice_in_dim(
             x, jax.lax.axis_index(edge_axis) * rows, rows, 0)
-        h_local = jnp.dot(x_local, params["W"],
+        h_local = jnp.dot(x_local.astype(gdt), params["W"].astype(gdt),
                           preferred_element_type=jnp.float32)
         h_flat = jax.lax.all_gather(h_local, edge_axis, axis=0, tiled=True)
     else:
-        h_flat = jnp.dot(x, params["W"],
+        h_flat = jnp.dot(x.astype(gdt), params["W"].astype(gdt),
                          preferred_element_type=jnp.float32)
     h = h_flat.reshape(num_nodes, nh, f)
 
@@ -801,7 +820,12 @@ def gat_model_apply(params: Params,
     layer_cfgs = cfg.layer_configs()
     skip_dims = cfg.skip_dims()
     heads = [1] + list(cfg.num_heads_per_layer)
-    x = graph.x
+    # Under GAT_TPU_GEMM_DTYPE=bfloat16, cast the node features ONCE at
+    # the top: the input-dropout mask multiply, the first-layer GEMM
+    # read, and the dW backward pass over the saved dropped-x residual
+    # all run at half HBM traffic (the feature matrix is the largest
+    # array in every reference workload — Cora 16 MB vs 700 KB h).
+    x = graph.x.astype(_gemm_dtype())
     attention: List[jax.Array] = []
     skip_count = 0
     n_layers = cfg.num_layers
@@ -839,8 +863,10 @@ def gat_model_apply(params: Params,
             skip_p = params["skips"][skip_count]
             skip_count += 1
             skip_out = (layer_input if "w" not in skip_p
-                        else jnp.dot(layer_input, skip_p["w"],
-                                     preferred_element_type=jnp.float32))
+                        else jnp.dot(
+                            layer_input.astype(_gemm_dtype()),
+                            skip_p["w"].astype(_gemm_dtype()),
+                            preferred_element_type=jnp.float32))
             if cfg.heads_concat_per_layer[i]:
                 x = x + skip_out
             else:

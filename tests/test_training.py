@@ -40,6 +40,32 @@ def test_cora_synthetic_learns():
     assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
 
 
+def test_cora_trains_with_bf16_gemm(monkeypatch):
+    """GAT_TPU_GEMM_DTYPE=bfloat16 (the official bench.py numerics:
+    feature GEMMs take bf16 inputs with f32 accumulation) must not cost
+    accuracy — same synthetic-Cora bar as the f32 run above, and the
+    bf16 forward must stay within bf16 rounding of the f32 forward."""
+    monkeypatch.setenv("GAT_TPU_GEMM_DTYPE", "bfloat16")
+    raw = make_planetoid_like("Cora", seed=0)
+    g = loader.transductive_graph(raw)
+    cfg = get_config("Cora").gat_config()
+    task = make_task("Cora")
+    trainer = Trainer(cfg=cfg, task=task, learning_rate=0.005,
+                      weight_decay=5e-4, max_epochs=60, patience=100,
+                      seed=0)
+    result = trainer.fit([g], [g])
+    test_m = trainer.evaluate(result.params, [g])
+    assert test_m["test_acc"] > 0.55, test_m
+
+    from gat_pytorch_tpu.models.gat import gat_model_apply, init_gat_model
+    params = init_gat_model(jax.random.key(1), cfg)
+    out_bf16 = np.asarray(gat_model_apply(params, cfg, g))
+    monkeypatch.setenv("GAT_TPU_GEMM_DTYPE", "float32")
+    out_f32 = np.asarray(gat_model_apply(params, cfg, g))
+    # logits differ only by bf16 input rounding through two layers
+    np.testing.assert_allclose(out_bf16, out_f32, rtol=0.1, atol=0.05)
+
+
 def test_ppi_synthetic_learns_batched():
     train = make_ppi_like("train", num_graphs=4)
     val = make_ppi_like("val", num_graphs=1)
