@@ -75,6 +75,12 @@ def _kernel(tile_off_ref,
         return pltpu.make_async_copy(packed_hbm.at[:, pl.ds(start, eb)],
                                      buf.at[slot], sems.at[slot])
 
+    def dma_out(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(dbuf.at[slot],
+                                     dout_hbm.at[:, pl.ds(start, eb)],
+                                     wsems.at[slot])
+
     @pl.when(nblocks > 0)
     def _():
         dma_in(0, 0).start()
@@ -88,6 +94,12 @@ def _kernel(tile_off_ref,
             dma_in((b + 1) % 2, b + 1).start()
 
         dma_in(slot, b).wait()
+        # pipelined writes: wait only for the write issued two blocks ago
+        # (same-slot buffer reuse); in-tile target ranges are disjoint,
+        # the cross-tile overlap block is covered by the post-loop drain
+        @pl.when(b >= 2)
+        def _():
+            dma_out(wslot, b - 2).wait()
         start = pl.multiple_of(lo + b * eb, eb)
 
         block = buf[slot]                                   # (R, EB)
@@ -149,14 +161,18 @@ def _kernel(tile_off_ref,
         def _():
             dbuf[wslot] = dblk
 
-        wr = pltpu.make_async_copy(dbuf.at[wslot],
-                                   dout_hbm.at[:, pl.ds(start, eb)],
-                                   wsems.at[wslot])
-        wr.start()
-        wr.wait()
+        dma_out(wslot, b).start()
         return 0
 
     jax.lax.fori_loop(0, nblocks, body, 0)
+
+    @pl.when(nblocks >= 2)
+    def _():
+        dma_out((nblocks - 2) % 2, nblocks - 2).wait()
+
+    @pl.when(nblocks >= 1)
+    def _():
+        dma_out((nblocks - 1) % 2, nblocks - 1).wait()
 
 
 def _kernel_split(tile_off_ref,
@@ -216,6 +232,17 @@ def _kernel_split(tile_off_ref,
             return dh_hbm.at[pl.ds(start, eb), :]
         return dh_hbm.at[:, pl.ds(start, eb)]
 
+    def dma_wh(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(dhbuf.at[slot], dh_slice(start),
+                                     wsems.at[slot, 0])
+
+    def dma_wm(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(dmbuf.at[slot],
+                                     dmeta_hbm.at[:, pl.ds(start, eb)],
+                                     wsems.at[slot, 1])
+
     @pl.when(nblocks > 0)
     def _():
         dma_h(0, 0).start()
@@ -232,6 +259,12 @@ def _kernel_split(tile_off_ref,
 
         dma_h(slot, b).wait()
         dma_m(slot, b).wait()
+        # pipelined writes (same scheme as _kernel_v5_bwd): wait only for
+        # the slot's previous write; post-loop drain covers the rest
+        @pl.when(b >= 2)
+        def _():
+            dma_wh(wslot, b - 2).wait()
+            dma_wm(wslot, b - 2).wait()
         start = pl.multiple_of(lo + b * eb, eb)
 
         if h_rowmajor:
@@ -303,18 +336,21 @@ def _kernel_split(tile_off_ref,
             dhbuf[wslot] = dhblk
             dmbuf[wslot] = dmblk
 
-        wh = pltpu.make_async_copy(dhbuf.at[wslot], dh_slice(start),
-                                   wsems.at[wslot, 0])
-        wm = pltpu.make_async_copy(dmbuf.at[wslot],
-                                   dmeta_hbm.at[:, pl.ds(start, eb)],
-                                   wsems.at[wslot, 1])
-        wh.start()
-        wm.start()
-        wh.wait()
-        wm.wait()
+        dma_wh(wslot, b).start()
+        dma_wm(wslot, b).start()
         return 0
 
     jax.lax.fori_loop(0, nblocks, body, 0)
+
+    @pl.when(nblocks >= 2)
+    def _():
+        dma_wh((nblocks - 2) % 2, nblocks - 2).wait()
+        dma_wm((nblocks - 2) % 2, nblocks - 2).wait()
+
+    @pl.when(nblocks >= 1)
+    def _():
+        dma_wh((nblocks - 1) % 2, nblocks - 1).wait()
+        dma_wm((nblocks - 1) % 2, nblocks - 1).wait()
 
 
 def backward_split(h_src: jax.Array,          # (NHF8, E+EB) edge-major or
@@ -553,6 +589,18 @@ def _kernel_v5_bwd(pref_ref,
         return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
                                      mbuf.at[slot], sems.at[slot, 1])
 
+    def dma_wh(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(dhbuf.at[slot],
+                                     dh_hbm.at[pl.ds(start, eb), :],
+                                     wsems.at[slot, 0])
+
+    def dma_wm(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(dmbuf.at[slot],
+                                     dmeta_hbm.at[:, pl.ds(start, eb)],
+                                     wsems.at[slot, 1])
+
     @pl.when(nblocks > 0)
     def _():
         dma_h(0, 0).start()
@@ -569,6 +617,16 @@ def _kernel_v5_bwd(pref_ref,
 
         dma_h(slot, b).wait()
         dma_m(slot, b).wait()
+        # write DMAs are pipelined: only wait for the write issued two
+        # blocks ago before reusing its buffer slot (blocks within a
+        # tile target disjoint [start, start+eb) ranges, so in-flight
+        # writes never alias; the cross-TILE overlap from aligning `lo`
+        # down is safe because all writes drain before the grid step
+        # ends — see the post-loop waits)
+        @pl.when(b >= 2)
+        def _():
+            dma_wh(wslot, b - 2).wait()
+            dma_wm(wslot, b - 2).wait()
         start = pl.multiple_of(lo + b * eb, eb)
 
         hb = hbuf[slot].astype(jnp.float32)                 # (EB, NHFL)
@@ -669,19 +727,24 @@ def _kernel_v5_bwd(pref_ref,
             dhbuf[wslot] = dhblk
             dmbuf[wslot] = dmblk
 
-        wh = pltpu.make_async_copy(dhbuf.at[wslot],
-                                   dh_hbm.at[pl.ds(start, eb), :],
-                                   wsems.at[wslot, 0])
-        wm = pltpu.make_async_copy(dmbuf.at[wslot],
-                                   dmeta_hbm.at[:, pl.ds(start, eb)],
-                                   wsems.at[wslot, 1])
-        wh.start()
-        wm.start()
-        wh.wait()
-        wm.wait()
+        dma_wh(wslot, b).start()
+        dma_wm(wslot, b).start()
         return 0
 
     jax.lax.fori_loop(0, nblocks, body, 0)
+
+    # drain the (up to two) still-in-flight write DMAs before this grid
+    # step ends: the next tile's b==0 read-modify-write reads the edge
+    # block that `lo`-alignment makes both tiles share
+    @pl.when(nblocks >= 2)
+    def _():
+        dma_wh((nblocks - 2) % 2, nblocks - 2).wait()
+        dma_wm((nblocks - 2) % 2, nblocks - 2).wait()
+
+    @pl.when(nblocks >= 1)
+    def _():
+        dma_wh((nblocks - 1) % 2, nblocks - 1).wait()
+        dma_wm((nblocks - 1) % 2, nblocks - 1).wait()
 
 
 def backward_v5(h_src, meta, a_pad, s_dst, cap, receivers, e_real,

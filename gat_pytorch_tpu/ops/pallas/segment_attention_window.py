@@ -477,6 +477,12 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
                                      mbuf.at[slot], msems.at[slot])
 
+    def dma_wm(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(dmbuf.at[slot],
+                                     dmeta_hbm.at[:, pl.ds(start, eb)],
+                                     wsems.at[slot])
+
     @pl.when(nblocks > 0)
     def _():
         dma_m(0, 0).start()
@@ -490,6 +496,13 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             dma_m((b + 1) % 2, b + 1).start()
 
         dma_m(slot, b).wait()
+        # pipelined d_drop writes: only wait for the write issued two
+        # blocks ago before reusing its buffer slot (in-tile writes are
+        # disjoint; the cross-tile overlap block is covered by the
+        # post-loop drain)
+        @pl.when(b >= 2)
+        def _():
+            dma_wm(wslot, b - 2).wait()
         start = pl.multiple_of(lo + b * eb, eb)
         meta = mbuf[slot]
         recv_at = nh8 if with_dropout else 0
@@ -592,14 +605,20 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         def _():
             dmbuf[wslot] = dmblk
 
-        wm = pltpu.make_async_copy(dmbuf.at[wslot],
-                                   dmeta_hbm.at[:, pl.ds(start, eb)],
-                                   wsems.at[wslot])
-        wm.start()
-        wm.wait()
+        dma_wm(wslot, b).start()
         return 0
 
     jax.lax.fori_loop(0, nblocks, body, 0)
+
+    # drain in-flight d_drop writes before the tile's trailing window
+    # RMW / the next tile's b==0 read of the shared overlap block
+    @pl.when(nblocks >= 2)
+    def _():
+        dma_wm((nblocks - 2) % 2, nblocks - 2).wait()
+
+    @pl.when(nblocks >= 1)
+    def _():
+        dma_wm((nblocks - 1) % 2, nblocks - 1).wait()
 
     if resident:
         # d(h) lives fully in VMEM across tiles: write once at the end
