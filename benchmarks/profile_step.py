@@ -33,6 +33,8 @@ def main() -> int:
     ap.add_argument("--logdir", default="/tmp/profile_step")
     ap.add_argument("--scale", action="store_true",
                     help="profile the 5M-edge scale workload instead")
+    ap.add_argument("--banded", action="store_true",
+                    help="profile the 5M-edge banded (v6) workload")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +49,9 @@ def main() -> int:
     if args.scale:
         import bench
         cfg, graph, task, lr, l2 = bench.scale_workload()
+    elif args.banded:
+        import bench
+        cfg, graph, task, lr, l2 = bench.banded_workload()
     else:
         import bench
         cfg, graph, task, lr, l2 = bench.cora_workload()

@@ -29,9 +29,41 @@ import numpy as np
 
 
 @partial(jax.tree_util.register_dataclass,
+         data_fields=["send", "recv", "base", "tile_ptr", "tile_base"],
+         meta_fields=["wb", "window", "nb", "eb"])
+@dataclasses.dataclass(frozen=True)
+class BlockLayout:
+    """Block-local window layout for the v7 windowed-gather kernel
+    (canonicalize(..., src_windows=True) emits it; ops/pallas/
+    segment_attention_window.fused_gat_window_v7 consumes it).
+
+    Edges are regrouped per nb-row destination tile, sorted by SENDER
+    within each tile, and padded per tile to eb multiples. Pad slots
+    carry recv == -1 (they self-mask through the destination one-hot)
+    and a benign in-window sender. Every eb-edge block gets its own
+    128-aligned window base, so the kernel's one-hot gather/scatter
+    contractions run against a wb-row slice of the streamed tile window
+    instead of the full band — construction and MXU work per edge drop
+    by window/wb (~3x on the banded benchmark)."""
+    send: jax.Array       # (E7,) int32 senders, tile-grouped src-sorted
+    recv: jax.Array       # (E7,) int32 receivers, -1 on pad slots
+    base: jax.Array       # (G,)  int32 128-aligned per-block window base
+    tile_ptr: jax.Array   # (T+1,) int32 eb-aligned per-tile edge offsets
+    tile_base: jax.Array  # (T,)  int32 128-aligned per-tile window base
+    wb: int               # static: block window rows (multiple of 128)
+    window: int           # static: tile window rows (multiple of 128)
+    nb: int               # static: destination rows per tile
+    eb: int               # static: edge slots per block
+
+    @property
+    def num_slots(self) -> int:
+        return int(self.send.shape[0])
+
+
+@partial(jax.tree_util.register_dataclass,
          data_fields=["x", "senders", "receivers", "edge_mask", "node_mask",
                       "y", "train_mask", "val_mask", "test_mask", "graph_ids",
-                      "src_order", "tile_lo", "node_order"],
+                      "src_order", "tile_lo", "node_order", "block_layout"],
          meta_fields=["num_nodes", "num_edges", "src_band"])
 @dataclasses.dataclass(frozen=True)
 class Graph:
@@ -82,6 +114,10 @@ class Graph:
     tile_lo: Optional[jax.Array] = None
     node_order: Optional[jax.Array] = None
     src_band: int = 0
+    # block_layout: v7 block-local window layout (see BlockLayout). Only
+    # meaningful on single (unbatched, unsharded) graphs; stack_graphs /
+    # batch_specs drop it.
+    block_layout: Optional[BlockLayout] = None
 
     # -- convenience -------------------------------------------------------
     @property

@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from . import graphcore_binding as _core
-from .graph import Graph, from_numpy
+from .graph import BlockLayout, Graph, from_numpy
 
 
 def add_remaining_self_loops(senders: np.ndarray, receivers: np.ndarray,
@@ -138,12 +138,14 @@ def canonicalize(x: np.ndarray,
     # padding senders == sink sort last)
     src_order = np.argsort(senders_p, kind="stable").astype(np.int32)
 
-    tile_lo, src_band = (None, 0)
+    tile_lo, src_band, block_layout = (None, 0, None)
     if src_windows:
         tile_lo, src_band = compute_src_windows(
             senders_p, receivers_p, e, n_pad)
+        block_layout = compute_block_layout(senders_p, receivers_p, e,
+                                            n_pad)
 
-    return from_numpy(
+    graph = from_numpy(
         pad_nodes(np.asarray(x)),
         senders_p, receivers_p,
         y=pad_nodes(None if y is None else np.asarray(y)),
@@ -160,6 +162,9 @@ def canonicalize(x: np.ndarray,
         else np.concatenate([node_order,
                              np.arange(n, n_pad)]).astype(np.int32),
         src_band=src_band)
+    if block_layout is not None:
+        graph = graph.replace(block_layout=block_layout)
+    return graph
 
 
 def compute_src_windows(senders: np.ndarray, receivers: np.ndarray,
@@ -192,6 +197,81 @@ def compute_src_windows(senders: np.ndarray, receivers: np.ndarray,
         return lo.astype(np.int32), 0
     span = hi5[occupied] - (lo5[occupied] // 8) * 8 + 1
     return lo.astype(np.int32), int(span.max())
+
+
+def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
+                         num_real_edges: int, n_pad: int,
+                         nb: int = 256, eb: int = 512) -> BlockLayout:
+    """v7 block-local window layout (Graph.block_layout, consumed by
+    ops/pallas/segment_attention_window.fused_gat_window_v7).
+
+    Over the REAL prefix of the dst-sorted edge list: group edges by
+    nb-row destination tile, sort each tile's edges by SENDER, pad every
+    tile to a multiple of eb slots (pad slots: recv = -1, sender = the
+    block's window base — benign), and record per eb-block the
+    128-aligned min-sender window base. Because each tile's edges are
+    src-sorted, consecutive blocks cover consecutive narrow sender
+    ranges: the static block window `wb` (max block span, rounded to
+    128) is typically a small fraction of the tile band, and every
+    kernel contraction against the window shrinks proportionally."""
+    import jax.numpy as jnp
+
+    s = np.asarray(senders[:num_real_edges], dtype=np.int64)
+    r = np.asarray(receivers[:num_real_edges], dtype=np.int64)
+    t = -(-n_pad // nb)
+    tid = r // nb
+    order = np.lexsort((s, tid))                  # by tile, then sender
+    ss, tt = s[order], tid[order]
+    m = np.bincount(tid, minlength=t).astype(np.int64)   # edges per tile
+    mp = -(-m // eb) * eb                         # per-tile padded slots
+    tile_ptr = np.zeros(t + 1, np.int64)
+    tile_ptr[1:] = np.cumsum(mp)
+    e7 = int(tile_ptr[-1])
+    off = np.zeros(t + 1, np.int64)
+    off[1:] = np.cumsum(m)
+    send7 = np.zeros(e7, np.int64)
+    recv7 = np.full(e7, -1, np.int64)
+    pos = tile_ptr[tt] + (np.arange(ss.shape[0]) - off[tt])
+    send7[pos] = ss
+    recv7[pos] = r[order]
+
+    g = e7 // eb
+    if g == 0:
+        base = np.zeros(1, np.int64)
+        wb = 128
+        tile_base = np.zeros(t, np.int64)
+        window = 128
+    else:
+        sd = send7.reshape(g, eb)
+        vd = recv7.reshape(g, eb) >= 0
+        has_b = vd.any(axis=1)     # a block with zero real edges cannot
+        #                            exist (pads only fill a tile's tail)
+        bmin = np.where(vd, sd, np.iinfo(np.int64).max).min(axis=1)
+        bmax = np.where(vd, sd, -1).max(axis=1)
+        base = np.where(has_b, (bmin // 128) * 128, 0)
+        span = np.where(has_b, bmax - base + 1, 1)
+        wb = int(round_up(int(span.max()), 128))
+        # benign senders for pad slots: the owning block's base row
+        flat_pad = ~vd.reshape(-1)
+        send7[flat_pad] = np.repeat(base, eb)[flat_pad]
+        # per-tile window covering all of the tile's blocks
+        blk_tile = np.repeat(np.arange(t), mp // eb)
+        tmin = np.full(t, np.iinfo(np.int64).max)
+        tmax = np.full(t, -1, np.int64)
+        np.minimum.at(tmin, blk_tile, base)
+        np.maximum.at(tmax, blk_tile, bmax)
+        has_t = m > 0
+        tile_base = np.where(has_t, np.minimum(tmin, n_pad), 0)
+        window = int(round_up(
+            max(int(np.where(has_t, tmax - tile_base + 1, 1).max()), wb),
+            128))
+    return BlockLayout(
+        send=jnp.asarray(send7.astype(np.int32)),
+        recv=jnp.asarray(recv7.astype(np.int32)),
+        base=jnp.asarray(base.astype(np.int32)),
+        tile_ptr=jnp.asarray(tile_ptr.astype(np.int32)),
+        tile_base=jnp.asarray(tile_base.astype(np.int32)),
+        wb=int(wb), window=int(window), nb=int(nb), eb=int(eb))
 
 
 def csr_offsets(receivers: np.ndarray, num_nodes: int) -> np.ndarray:

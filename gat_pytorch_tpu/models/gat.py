@@ -237,7 +237,8 @@ def gat_layer_apply(params: Params,
                     src_order: Optional[jax.Array] = None,
                     dst_owned: bool = False,
                     tile_lo: Optional[jax.Array] = None,
-                    src_band: int = 0):
+                    src_band: int = 0,
+                    block_layout=None):
     """One GAT layer forward. Graph must be canonicalised (self-loops added,
     dst-sorted, padded — graph/transforms.canonicalize).
 
@@ -326,8 +327,20 @@ def gat_layer_apply(params: Params,
             and not cfg.const_attention):
         nhfl = ((nh * f + 127) // 128) * 128
         n_rows8 = ((num_nodes + 7) // 8) * 8
+        v6_eb, v6_nb = (512, 256) if nhfl <= 512 else (256, 128)
+        # v7 (block-local windows, Graph.block_layout): every one-hot
+        # construction and gather/scatter contraction runs against a
+        # wb-row slice instead of the whole band window — the per-edge
+        # cost driver drops from w*nhfl to wb*nhfl (~3x on the banded
+        # bench), so the auto gate keys on wb.
+        bl = block_layout
+        use_v7 = bl is not None and bl.nb == v6_nb and bl.eb == v6_eb
         w = n_rows8
-        if src_band > 0 and tile_lo is not None:
+        if use_v7:
+            # the kernel pads the node table to >= window rows and clips
+            # per-tile bases into [0, n_rows - window]
+            w = bl.window
+        elif src_band > 0 and tile_lo is not None:
             w = min(((src_band + 7) // 8) * 8, n_rows8)
         # VMEM gate: backward scratch is 4 window copies f32
         # (2x double-buffered stream + d-accumulator + readback)
@@ -337,16 +350,17 @@ def gat_layer_apply(params: Params,
         per_row = 8 if w >= n_rows8 else 16
         fits = per_row * w * nhfl <= budget
         # auto gate: the one-hot gather/scatter contractions cost
-        # O(w * nhfl) MXU flops PER EDGE, so v6 only beats v5's 4 KB/row
-        # random-crossing tax for NARROW windows. Measured in-situ
-        # (benchmarks/probe_v6_insitu.py + window_bench, v5e): banded
-        # w=1536/nhfl=128 is +4% over v5; whole-table-resident Cora
-        # (w=2816) is -44% on the full train step despite winning the
-        # no-dropout forward microbench. Auto therefore requires a
-        # BANDED certification (tile_lo) and w*nhfl below ~200k lanes;
+        # O(wb * nhfl) MXU flops PER EDGE (w*nhfl without a block
+        # layout), so v6 only beats v5's 4 KB/row random-crossing tax
+        # for NARROW windows. Measured in-situ (probe_v6_insitu +
+        # window_bench, v5e): banded w=1536/nhfl=128 is +4% over v5
+        # even pre-v7; whole-table-resident Cora (w=2816) is -44% on
+        # the full train step. Auto therefore requires a BANDED
+        # certification and an effective window below ~200k lanes;
         # GAT_TPU_V6=1 forces on anywhere (e.g. for A/B runs).
-        narrow = (tile_lo is not None and w < n_rows8
-                  and w * nhfl <= int(_os.environ.get(
+        w_eff = bl.wb if use_v7 else w
+        narrow = ((use_v7 or tile_lo is not None) and w_eff < n_rows8
+                  and w_eff * nhfl <= int(_os.environ.get(
                       "GAT_TPU_V6_MAX_WL", str(200 * 1024))))
         v6_on = fits and (_v6_env == "1"
                           or (_v6_env == "auto" and narrow
@@ -357,23 +371,33 @@ def gat_layer_apply(params: Params,
             a_src, a_dst = _split_attention_map(params["a"], nh, f)
             s_dst_n = jnp.dot(h_flat, a_dst,
                               preferred_element_type=jnp.float32)
-            drop_mask = None
-            if training and cfg.dropout > 0.0:
+
+            def make_drop(e_slots):
+                if not (training and cfg.dropout > 0.0):
+                    return None
                 if rng is None:
                     raise ValueError("rng required for attention dropout")
-                keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, (E, nh))
-                drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
-            e_real = jnp.sum(edge_mask).astype(jnp.int32)
-            v6_eb, v6_nb = (512, 256) if nhfl <= 512 else (256, 128)
-            if w == n_rows8 or tile_lo is None:
-                # whole-table-resident mode needs no locality metadata
-                tl = jnp.zeros(((num_nodes + 127) // 128,), jnp.int32)
+                keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout,
+                                            (e_slots, nh))
+                return keep.astype(jnp.float32) / (1.0 - cfg.dropout)
+
+            if use_v7:
+                out = fsw.fused_gat_window_v7(
+                    h_flat, a_src, s_dst_n, make_drop(bl.send.shape[0]),
+                    bl.send, bl.recv, bl.base, bl.tile_ptr, bl.tile_base,
+                    num_nodes, nh, f, bl.window, bl.wb, 1e-8, cfg.slope,
+                    v6_eb, v6_nb, interpret)
             else:
-                tl = tile_lo
-            out = fsw.fused_gat_window(
-                h_flat, a_src, s_dst_n, drop_mask, senders, receivers,
-                e_real, tl, num_nodes, nh, f, w, 1e-8, cfg.slope,
-                v6_eb, v6_nb, interpret)
+                e_real = jnp.sum(edge_mask).astype(jnp.int32)
+                if w == n_rows8 or tile_lo is None:
+                    # whole-table-resident mode: no locality metadata
+                    tl = jnp.zeros(((num_nodes + 127) // 128,), jnp.int32)
+                else:
+                    tl = tile_lo
+                out = fsw.fused_gat_window(
+                    h_flat, a_src, s_dst_n, make_drop(E), senders,
+                    receivers, e_real, tl, num_nodes, nh, f, w, 1e-8,
+                    cfg.slope, v6_eb, v6_nb, interpret)
             if cfg.concat:
                 out = out.reshape(num_nodes, nh * f)
             else:
@@ -852,7 +876,8 @@ def gat_model_apply(params: Params,
             src_order=graph.src_order
             if (edge_axis is None or dst_owned) else None,
             tile_lo=graph.tile_lo if edge_axis is None else None,
-            src_band=graph.src_band if edge_axis is None else 0)
+            src_band=graph.src_band if edge_axis is None else 0,
+            block_layout=graph.block_layout if edge_axis is None else None)
         if return_attention:
             x, alpha = out
             attention.append(alpha)

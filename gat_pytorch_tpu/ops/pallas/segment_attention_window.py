@@ -40,6 +40,18 @@ must also satisfy W <= node-table rows. Everything else (semantics,
 quirks, dropout composition) matches fused_gat_table_autocap; parity is
 pinned against reference_segment_attention + the XLA oracle in
 tests/test_window_kernel.py. Replaces reference models/gat_layer.py:70-127.
+
+v7 (fused_gat_window_v7, Graph.block_layout): the one-hot construction
+and its contractions cost O(W) VPU+MXU work PER EDGE, and W must cover a
+whole tile's band. The v7 layout (graph/transforms.compute_block_layout)
+sorts each tile's edges by SENDER and pads tiles to eb-multiples, so
+every eb-edge block spans a far narrower sender range; the kernel then
+builds the one-hot and runs the gather/scatter contractions against a
+wb-row 128-aligned SLICE of the already-streamed tile window (wb = max
+block span << W). Window DMA traffic is unchanged; per-edge VPU and MXU
+work drop by W/wb (~3x on the 5M-edge banded benchmark). Same math, same
+cap semantics, same VJP structure — pad slots carry recv == -1 and
+self-mask through the destination one-hot.
 """
 
 from __future__ import annotations
@@ -81,6 +93,8 @@ def _expander(nh8, nhf8, nh, f):
 
 def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                base_ref,           # (T,) int32: per-tile window base (8-al.)
+               bbase_ref,          # (G,) int32 per-BLOCK window base (v7;
+               #                     128-aligned absolute rows) or (1,) dummy
                h_hbm,              # (N_rows, NHFL) node feature table
                meta_hbm,           # (MR, E_cols): [drop nh8?] recv/src group
                a_src_ref,          # (NHFL, NH8) VMEM whole
@@ -90,12 +104,21 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                wbuf, mbuf, sems, msems, capacc, codeacc,
                *, eb: int, nb: int, nh: int, f: int, nh8: int,
                nhf8: int, nhfl: int, w: int, eps: float, slope: float,
-               with_dropout: bool, resident: bool):
+               with_dropout: bool, resident: bool, wb: int = 0):
+    # wb > 0 selects the v7 BLOCK-LOCAL window mode (Graph.block_layout):
+    # tile offsets are eb-aligned (no shared overlap blocks) and every
+    # edge block's one-hot/gather/scatter contractions run against a
+    # wb-row 128-aligned slice of the streamed tile window instead of the
+    # whole w rows — VPU construction and MXU FLOPs per edge drop by w/wb.
+    v7 = wb > 0
     i = pl.program_id(0)
     t = pl.num_programs(0) // 2
     ti = jax.lax.rem(i, t)
     phase = i // t                    # 0 = cap sweep, 1 = attention
-    lo = (tile_off_ref[ti] // eb) * eb
+    if v7:
+        lo = tile_off_ref[ti]         # eb-aligned by construction
+    else:
+        lo = (tile_off_ref[ti] // eb) * eb
     hi = tile_off_ref[ti + 1]
     e_real = tile_off_ref[t + 1]
     nblocks = pl.cdiv(hi - lo, eb)
@@ -118,7 +141,6 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                                        wbuf.at[0], sems.at[0])
             cp.start()
             cp.wait()
-        win = wbuf[0].astype(jnp.float32)                   # (W, NHFL)
     else:
         # per-tile window, double-buffered across grid steps
         def dma_w(slot, gi):
@@ -136,14 +158,18 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
             dma_w((i + 1) % 2, i + 1).start()
 
         dma_w(i % 2, i).wait()
-        win = wbuf[i % 2].astype(jnp.float32)               # (W, NHFL)
-    win_t = win.T                                           # (NHFL, W)
-    # per-tile source scores over the window: s_src_win (NH8, W)
-    s_src_win = jax.lax.dot_general(
-        a_src_t, win_t, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    wslot_ix = 0 if resident else jax.lax.rem(i, 2)
+    if v7:
+        win_t = s_src_win = None      # per-block slices instead
+    else:
+        win_t = wbuf[wslot_ix].astype(jnp.float32).T        # (NHFL, W)
+        # per-tile source scores over the window: s_src_win (NH8, W)
+        s_src_win = jax.lax.dot_general(
+            a_src_t, win_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    base_f = ((base_ref[ti] // 8) * 8).astype(jnp.float32)
+    base_i = (base_ref[ti] // 8) * 8
+    base_f = base_i.astype(jnp.float32)
 
     def dma_m(slot, b):
         start = pl.multiple_of(lo + b * eb, eb)
@@ -153,6 +179,27 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     @pl.when(nblocks > 0)
     def _():
         dma_m(0, 0).start()
+
+    def block_window(b):
+        """(win_t slice (NHFL, WN), s_src over it (NH8, WN), first row,
+        row count) for block b — the whole tile window in legacy mode,
+        the block's wb-row 128-aligned sub-window in v7 mode (loaded as
+        a dynamic sublane slice of the wbuf REF — Mosaic has no
+        dynamic_slice on values). The min/max keeps the slice inside
+        [0, w); coverage survives the clamp because the slice end stays
+        past the block's max sender (wb >= every block's span)."""
+        if not v7:
+            return win_t, s_src_win, base_f, w
+        goff = lo // eb + b
+        off = jnp.minimum(jnp.maximum(bbase_ref[goff] - base_i, 0),
+                          w - wb)
+        off = pl.multiple_of((off // 8) * 8, 8)
+        blk = wbuf[wslot_ix, pl.ds(off, wb), :].astype(jnp.float32)
+        blk_t = blk.T                                        # (NHFL, WB)
+        s_src_blk = jax.lax.dot_general(
+            a_src_t, blk_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (NH8, WB)
+        return blk_t, s_src_blk, (base_i + off).astype(jnp.float32), wb
 
     def edge_inputs(slot, b):
         start = pl.multiple_of(lo + b * eb, eb)
@@ -164,18 +211,20 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                 + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
                 ).astype(jnp.float32)
         onehot_dst = (recv_row == rows).astype(jnp.float32)  # (NB, EB)
-        wrow = (base_f
-                + jax.lax.broadcasted_iota(jnp.int32, (w, eb), 0
+        wt_blk, ss_win, wrow0, wn = block_window(b)
+        wrow = (wrow0
+                + jax.lax.broadcasted_iota(jnp.int32, (wn, eb), 0
                                            ).astype(jnp.float32))
-        onehot_w = (src_row == wrow).astype(jnp.float32)     # (W, EB)
+        onehot_w = (src_row == wrow).astype(jnp.float32)     # (WN, EB)
         s_src = jax.lax.dot_general(
-            s_src_win, onehot_w, (((1,), (0,)), ((), ())),
+            ss_win, onehot_w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # (NH8, EB)
         s_dst_e = jax.lax.dot_general(
             s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # (NH8, EB)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
-        return meta, recv_row, onehot_dst, onehot_w, s_src, s_dst_e, col
+        return (meta, recv_row, onehot_dst, onehot_w, s_src, s_dst_e,
+                col, wt_blk)
 
     def cap_body(b, carry):
         vmax, vcode = carry
@@ -188,7 +237,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         dma_m(slot, b).wait()
         start = pl.multiple_of(lo + b * eb, eb)
         (meta, recv_row, onehot_dst, onehot_w, s_src, s_dst_e,
-         col) = edge_inputs(slot, b)
+         col, _wsl) = edge_inputs(slot, b)
         raw = s_src + s_dst_e
         head = jax.lax.broadcasted_iota(jnp.int32, (nh8, eb), 0)
         in_tile = ((recv_row >= ti * nb) & (recv_row < ti * nb + nb))
@@ -211,7 +260,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         dma_m(slot, b).wait()
         start = pl.multiple_of(lo + b * eb, eb)
         (meta, recv_row, onehot_dst, onehot_w, s_src, s_dst_e,
-         col) = edge_inputs(slot, b)
+         col, wt_blk) = edge_inputs(slot, b)
         cap = jnp.max(capacc[:])
         pre = (s_src + s_dst_e) - cap
         lgt = jnp.where(pre >= 0.0, pre, slope * pre)
@@ -220,7 +269,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
 
         dt = _v6_dtype()
         gathered_t = jax.lax.dot_general(
-            win_t.astype(dt), onehot_w.astype(dt),
+            wt_blk.astype(dt), onehot_w.astype(dt),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (NHFL, EB)
         h_t = gathered_t[:nhf8]
@@ -311,13 +360,14 @@ def _v6_prep(h_flat, a_src, senders, receivers, tile_lo, num_nodes,
         tl = jnp.pad(tl, (0, need - tl.shape[0]),
                      constant_values=_I32_MAX)
     lo_nb = jnp.min(tl[:need].reshape(t, k), axis=1)        # (T,)
-    base = jnp.clip((lo_nb // 8) * 8, 0, n_rows - window)
+    base = jnp.minimum(jnp.maximum((lo_nb // 8) * 8, 0), n_rows - window)
     return h8, a_pad, base.astype(jnp.int32), nh8, nhfl, n_rows
 
 
 def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
                 num_nodes, nh, f, *, eps, slope, eb, nb, window,
-                interpret, with_dropout):
+                interpret, with_dropout, block_base=None, tile_ptr=None,
+                wb=0):
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
     nh8 = _round_up(nh, 8)
@@ -326,13 +376,18 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
     resident = window == h8.shape[0]   # whole table in VMEM, one DMA
 
     s_dst_t = jnp.pad(s_dst.T, ((0, nh8 - nh), (0, n_pad - num_nodes)))
-    bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
-    tile_off = jnp.searchsorted(receivers, bounds, side="left"
-                                ).astype(jnp.int32)
+    if tile_ptr is not None:           # v7: eb-aligned offsets from prep
+        tile_off = tile_ptr.astype(jnp.int32)
+        bbase = block_base.astype(jnp.int32)
+    else:
+        bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
+        tile_off = jnp.searchsorted(receivers, bounds, side="left"
+                                    ).astype(jnp.int32)
+        bbase = jnp.zeros((1,), jnp.int32)
     pref = jnp.concatenate([tile_off, e_real[None].astype(jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(2 * t,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # h8
@@ -364,7 +419,7 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
     kernel = functools.partial(
         _kernel_v6, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
-        with_dropout=with_dropout, resident=resident)
+        with_dropout=with_dropout, resident=resident, wb=wb)
     e = receivers.shape[0]
     acc_t, cap_o, code_o = pl.pallas_call(
         kernel,
@@ -375,7 +430,8 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
             jax.ShapeDtypeStruct((8, 128), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * (e + eb) * (2 * window * nh8 + window * nhfl
+            flops=2 * (e + eb) * (2 * (wb or window) * nh8
+                                  + (wb or window) * nhfl
                                   + 2 * nb * (nhf8 + nh8)),
             bytes_accessed=(1 if resident else 2 * t)
             * window * nhfl * 4
@@ -383,7 +439,7 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
             + n_pad * (nhf8 + nh8) * 4,
             transcendentals=(e + eb) * nh8),
         interpret=interpret,
-    )(pref, base, h8, meta, a_pad, s_dst_t)
+    )(pref, base, bbase, h8, meta, a_pad, s_dst_t)
     return (acc_t[:nh * f].T[:num_nodes],
             acc_t[nhf8:nhf8 + nh].T[:num_nodes],
             cap_o[0, 0], code_o[0, 0])
@@ -391,6 +447,7 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
 
 def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                    base_ref,        # (T,) int32
+                   bbase_ref,       # (G,) int32 per-block base (v7) / dummy
                    h_hbm,           # (N_rows, NHFL)
                    meta_hbm,        # (MR, E_cols)
                    zeros_h_hbm,     # (N_rows, NHFL) aliased -> d_table
@@ -407,10 +464,15 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                    sems, msems, wsems, rsems,
                    *, eb: int, nb: int, nh: int, f: int, nh8: int,
                    nhf8: int, nhfl: int, w: int, eps: float,
-                   slope: float, with_dropout: bool, resident: bool):
+                   slope: float, with_dropout: bool, resident: bool,
+                   wb: int = 0):
+    v7 = wb > 0                       # block-local windows (see _kernel_v6)
     i = pl.program_id(0)
     t = pl.num_programs(0)
-    lo = (tile_off_ref[i] // eb) * eb
+    if v7:
+        lo = tile_off_ref[i]          # eb-aligned: no shared overlap block
+    else:
+        lo = (tile_off_ref[i] // eb) * eb
     hi = tile_off_ref[i + 1]
     e_real = tile_off_ref[t + 1]
     nblocks = pl.cdiv(hi - lo, eb)
@@ -441,7 +503,6 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                                        wbuf.at[0], sems.at[0])
             cp.start()
             cp.wait()
-        win = wbuf[0].astype(jnp.float32)                   # (W, NHFL)
     else:
         def dma_w(slot, gi):
             base_g = pl.multiple_of((base_ref[gi] // 8) * 8, 8)
@@ -457,13 +518,31 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             dma_w((i + 1) % 2, i + 1).start()
 
         dma_w(i % 2, i).wait()
-        win = wbuf[i % 2].astype(jnp.float32)               # (W, NHFL)
-    win_t = win.T
-    s_src_win = jax.lax.dot_general(
-        a_src_t, win_t, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # (NH8, W)
+    wslot_ix = 0 if resident else jax.lax.rem(i, 2)
+    if v7:
+        win_t = s_src_win = None      # per-block slices instead
+    else:
+        win_t = wbuf[wslot_ix].astype(jnp.float32).T        # (NHFL, W)
+        s_src_win = jax.lax.dot_general(
+            a_src_t, win_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NH8, W)
     base = pl.multiple_of((base_ref[i] // 8) * 8, 8)
     base_f = base.astype(jnp.float32)
+
+    def block_window(b):
+        """Block-local sub-window of the wbuf REF (v7) or the whole tile
+        window — see _kernel_v6.block_window. Also returns the slice
+        offset for the dwin scatter."""
+        if not v7:
+            return win_t, s_src_win, base_f, w, jnp.int32(0)
+        goff = lo // eb + b
+        off = jnp.minimum(jnp.maximum(bbase_ref[goff] - base, 0), w - wb)
+        off = pl.multiple_of((off // 8) * 8, 8)
+        blk_t = wbuf[wslot_ix, pl.ds(off, wb), :].astype(jnp.float32).T
+        s_src_blk = jax.lax.dot_general(
+            a_src_t, blk_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (NH8, WB)
+        return blk_t, s_src_blk, (base + off).astype(jnp.float32), wb, off
 
     if resident:
         @pl.when(i == 0)
@@ -512,13 +591,14 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                 + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
                 ).astype(jnp.float32)
         onehot_dst = (recv_row == rows).astype(jnp.float32)  # (NB, EB)
-        wrow = (base_f
-                + jax.lax.broadcasted_iota(jnp.int32, (w, eb), 0
+        wt_blk, ss_win, wrow0, wn, woff = block_window(b)
+        wrow = (wrow0
+                + jax.lax.broadcasted_iota(jnp.int32, (wn, eb), 0
                                            ).astype(jnp.float32))
-        onehot_w = (src_row == wrow).astype(jnp.float32)     # (W, EB)
+        onehot_w = (src_row == wrow).astype(jnp.float32)     # (WN, EB)
 
         s_src = jax.lax.dot_general(
-            s_src_win, onehot_w, (((1,), (0,)), ((), ())),
+            ss_win, onehot_w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         s_dst_e = jax.lax.dot_general(
             s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
@@ -532,7 +612,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
 
         dt = _v6_dtype()
         gathered_t = jax.lax.dot_general(
-            win_t.astype(dt), onehot_w.astype(dt),
+            wt_blk.astype(dt), onehot_w.astype(dt),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (NHFL, EB)
         h_t = gathered_t[:nhf8]
@@ -573,11 +653,16 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                 [d_h_att[:nhf8] + d_h_feat, d_h_att[nhf8:]], axis=0)
 
         # d(h) scattered into the WINDOW accumulator — the one-hot's
-        # transpose is the scatter (no permute, no sorted-segment pass)
-        dwin[:] += jax.lax.dot_general(
+        # transpose is the scatter (no permute, no sorted-segment pass).
+        # v7 accumulates into the block's wb-row sub-slice of dwin.
+        dupd = jax.lax.dot_general(
             onehot_w.astype(dt), d_h_full.astype(dt),
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (W, NHFL)
+            preferred_element_type=jnp.float32)             # (WN, NHFL)
+        if v7:
+            dwin[pl.ds(woff, wb), :] += dupd
+        else:
+            dwin[:] += dupd
 
         dsdst_ref[:] += jax.lax.dot_general(
             d_raw, onehot_dst, (((1,), (1,)), ((), ())),
@@ -593,17 +678,21 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
 
         dmblk = hdotg * ex * invd_e                         # d_drop
 
-        @pl.when(b == 0)
-        def _():
-            rm = pltpu.make_async_copy(dmeta_hbm.at[:, pl.ds(start, eb)],
-                                       rmbuf, rsems.at[1])
-            rm.start()
-            rm.wait()
-            dmbuf[wslot] = dmblk + rmbuf[:]
-
-        @pl.when(b > 0)
-        def _():
+        if v7:
+            # eb-aligned tile offsets: no shared overlap block, no RMW
             dmbuf[wslot] = dmblk
+        else:
+            @pl.when(b == 0)
+            def _():
+                rm = pltpu.make_async_copy(
+                    dmeta_hbm.at[:, pl.ds(start, eb)], rmbuf, rsems.at[1])
+                rm.start()
+                rm.wait()
+                dmbuf[wslot] = dmblk + rmbuf[:]
+
+            @pl.when(b > 0)
+            def _():
+                dmbuf[wslot] = dmblk
 
         dma_wm(wslot, b).start()
         return 0
@@ -646,7 +735,8 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
 def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
                 g, out, denom, num_nodes: int, nh: int, f: int,
                 *, eps: float, slope: float, eb: int, nb: int,
-                window: int, with_dropout: bool, interpret: bool):
+                window: int, with_dropout: bool, interpret: bool,
+                block_base=None, tile_ptr=None, wb: int = 0):
     """Returns (d_table (N_rows, NHFL), d_drop (NH8, E_cols),
     d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128))."""
     e = receivers.shape[0]
@@ -669,15 +759,20 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
     denom_t = node_t(denom, nh8)
     s_dst_t = node_t(s_dst, nh8)
 
-    bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
-    tile_off = jnp.searchsorted(receivers, bounds, side="left"
-                                ).astype(jnp.int32)
+    if tile_ptr is not None:           # v7: eb-aligned offsets from prep
+        tile_off = tile_ptr.astype(jnp.int32)
+        bbase = block_base.astype(jnp.int32)
+    else:
+        bounds = jnp.arange(t + 1, dtype=jnp.int32) * nb
+        tile_off = jnp.searchsorted(receivers, bounds, side="left"
+                                    ).astype(jnp.int32)
+        bbase = jnp.zeros((1,), jnp.int32)
     pref = jnp.concatenate([tile_off, e_real[None].astype(jnp.int32)])
     zeros_h = jnp.zeros((n_rows, nhfl), jnp.float32)
     zeros_m = jnp.zeros((nh8, e_cols), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # h8
@@ -725,7 +820,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
     kernel = functools.partial(
         _kernel_v6_bwd, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
-        with_dropout=with_dropout, resident=resident)
+        with_dropout=with_dropout, resident=resident, wb=wb)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -736,10 +831,11 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
             jax.ShapeDtypeStruct((nhfl, nh8), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ),
-        input_output_aliases={4: 0, 5: 1},  # zeros -> outputs (after 2
+        input_output_aliases={5: 0, 6: 1},  # zeros -> outputs (after 3
         #                                     scalar-prefetch operands)
         cost_estimate=pl.CostEstimate(
-            flops=2 * (e + eb) * (2 * window * nh8 + 2 * window * nhfl
+            flops=2 * (e + eb) * (2 * (wb or window) * nh8
+                                  + 2 * (wb or window) * nhfl
                                   + 3 * nb * (nhf8 + nh8)),
             bytes_accessed=(2 if resident else 3 * t)
             * window * nhfl * 4
@@ -747,7 +843,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
             + n_pad * (2 * nhf8 + 2 * nh8) * 4,
             transcendentals=(e + eb) * nh8),
         interpret=interpret,
-    )(pref, base, h8, meta, zeros_h, zeros_m, g_t, out_t, denom_t,
+    )(pref, base, bbase, h8, meta, zeros_h, zeros_m, g_t, out_t, denom_t,
       s_dst_t, a_pad, cap.reshape(1, 1))
 
 
@@ -820,6 +916,109 @@ def _fgw_bwd(num_nodes, nh, f, window, eps, slope, eb, nb, interpret,
     d_a_src = d_a_src.at[:, hidx].add(dc * hrow)
     d_s_dst = d_s_dst.at[dst_star, hidx].add(dc)
     return (d_h_flat, d_a_src, d_s_dst, d_drop, None, None, None, None)
+
+
+def _v7_prep(h_flat, a_src, tile_base, nh, f, window):
+    """v7 twin of _v6_prep: pad the node table / attention map and clip
+    the host-computed per-tile window bases into the padded row range."""
+    nhf = nh * f
+    nh8 = _round_up(nh, 8)
+    nhfl = _round_up(nhf, 128)
+    h8 = h_flat if nhf == nhfl else jnp.pad(
+        h_flat, ((0, 0), (0, nhfl - nhf)))
+    n_rows = h8.shape[0]
+    if n_rows < window:
+        h8 = jnp.pad(h8, ((0, window - n_rows), (0, 0)))
+        n_rows = window
+    a_pad = jnp.pad(a_src, ((0, nhfl - a_src.shape[0]),
+                            (0, nh8 - a_src.shape[1])))
+    base = jnp.minimum(jnp.maximum(tile_base.astype(jnp.int32), 0),
+                   n_rows - window)
+    return h8, a_pad, base, nh8, nhfl, n_rows
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
+def fused_gat_window_v7(h_flat, a_src, s_dst, drop_mask,
+                        senders, receivers, block_base, tile_ptr,
+                        tile_base,
+                        num_nodes: int, nh: int, f: int,
+                        window: int, wb: int,
+                        eps: float = 1e-8, slope: float = 0.01,
+                        eb: int = 512, nb: int = 256,
+                        interpret: bool = False):
+    """Block-local-window variant of fused_gat_window (same semantics,
+    same in-kernel global max-cap). Consumes the v7 layout emitted by
+    graph/transforms.compute_block_layout (Graph.block_layout): edges
+    tile-grouped, src-sorted and eb-padded per tile (senders/receivers
+    here are the LAYOUT's arrays; pad slots have recv == -1 and
+    self-mask through the destination one-hot), per-block 128-aligned
+    window bases, per-tile eb-aligned offsets. Every one-hot
+    construction and gather/scatter contraction runs against a wb-row
+    slice of the streamed tile window — VPU + MXU work per edge drop by
+    window/wb vs fused_gat_window. drop_mask, when given, is
+    (E7, nh) in LAYOUT order (attention-dropout masks are iid per edge,
+    so generating them directly in layout order is equivalent).
+    Replaces reference models/gat_layer.py:70-127."""
+    out, _ = _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders,
+                       receivers, block_base, tile_ptr, tile_base,
+                       num_nodes, nh, f, window, wb, eps, slope, eb, nb,
+                       interpret)
+    return out
+
+
+def _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
+              block_base, tile_ptr, tile_base, num_nodes, nh, f, window,
+              wb, eps, slope, eb, nb, interpret):
+    nh8 = _round_up(nh, 8)
+    h8, a_pad, base, nh8, nhfl, n_rows = _v7_prep(
+        h_flat, a_src, tile_base, nh, f, window)
+    meta = _pack_meta_v6(drop_mask, receivers, senders, nh8, eb)
+    with_dropout = drop_mask is not None
+    e7 = jnp.int32(senders.shape[0])
+    out, denom, cap, code = _forward_v6(
+        h8, meta, a_pad, s_dst, base, receivers, e7, num_nodes,
+        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
+        interpret=interpret, with_dropout=with_dropout,
+        block_base=block_base, tile_ptr=tile_ptr, wb=wb)
+    return out, (h8, meta, a_pad, s_dst, base, cap, code, senders,
+                 receivers, denom, out, with_dropout, h_flat.shape[0],
+                 block_base, tile_ptr)
+
+
+def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
+              interpret, res, g):
+    (h8, meta, a_pad, s_dst, base, cap, code, senders, receivers,
+     denom, out, with_dropout, n_orig, block_base, tile_ptr) = res
+    e = receivers.shape[0]
+    nh8 = _round_up(nh, 8)
+    d_table, d_drop_t, d_sdst_t, d_apad, d_cap = backward_v6(
+        h8, meta, a_pad, s_dst, cap, base, receivers, jnp.int32(e), g,
+        out, denom, num_nodes, nh, f, eps=eps, slope=slope, eb=eb,
+        nb=nb, window=window, with_dropout=with_dropout,
+        interpret=interpret, block_base=block_base, tile_ptr=tile_ptr,
+        wb=wb)
+    d_h_flat = d_table[:n_orig, :nh * f]
+    d_a_src = d_apad[:nh * f, :nh]
+    d_s_dst = d_sdst_t[:nh].T[:num_nodes]
+    d_drop = d_drop_t[:nh, :e].T if with_dropout else None
+
+    # cap chain: identical to _fgw_bwd (layout-order senders/receivers)
+    dc = d_cap[0, 0]
+    eidx = code // nh8
+    hidx = code % nh8
+    src_star = jnp.take(senders, eidx)
+    dst_star = jnp.take(receivers, eidx)
+    hrow = jnp.take(h8, src_star, axis=0)[:nh * f].astype(jnp.float32)
+    acol = jnp.take(a_pad, hidx, axis=1)[:nh * f].astype(jnp.float32)
+    d_h_flat = d_h_flat.at[src_star].add(dc * acol)
+    d_a_src = d_a_src.at[:, hidx].add(dc * hrow)
+    d_s_dst = d_s_dst.at[dst_star, hidx].add(dc)
+    return (d_h_flat, d_a_src, d_s_dst, d_drop, None, None, None, None,
+            None)
+
+
+fused_gat_window_v7.defvjp(_fgw7_fwd, _fgw7_bwd)
 
 
 fused_gat_window.defvjp(_fgw_fwd, _fgw_bwd)

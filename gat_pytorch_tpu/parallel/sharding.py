@@ -36,7 +36,10 @@ _META_FIELDS = frozenset({"num_nodes", "num_edges", "src_band"})
 
 
 def stack_graphs(graphs: List[Graph]) -> Graph:
-    """Stack same-bucket Graphs along a new leading batch axis."""
+    """Stack same-bucket Graphs along a new leading batch axis.
+    Drops per-graph block_layout (the v7 layout is a single-graph,
+    single-device optimisation)."""
+    graphs = [g.replace(block_layout=None) for g in graphs]
     g0 = graphs[0]
     for g in graphs[1:]:
         if (g.num_nodes, g.num_edges) != (g0.num_nodes, g0.num_edges):
@@ -51,7 +54,9 @@ def batch_specs(graph: Graph,
     (leading dim over `data_axis`, edge dim over `edge_axis`)."""
     kw = {}
     for f in dataclasses.fields(Graph):
-        if f.name in _META_FIELDS:
+        if f.name == "block_layout":
+            kw[f.name] = None
+        elif f.name in _META_FIELDS:
             kw[f.name] = getattr(graph, f.name)
         elif getattr(graph, f.name) is None:
             kw[f.name] = None

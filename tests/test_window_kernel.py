@@ -164,3 +164,141 @@ def test_v6_bf16_contractions_close(monkeypatch):
     window = ((band + 7) // 8) * 8
     _compare(n, e_real, pad, 4, 16, window, tile_lo, send, recv,
              with_dropout=False, seed=8, atol=2e-2, fwd_atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# v7 block-local windows (Graph.block_layout, fused_gat_window_v7)
+# ---------------------------------------------------------------------------
+
+def _v7_graph(seed, n=1500, e=9000, band=400, feats=8):
+    from gat_pytorch_tpu.graph import transforms as T
+    rng = np.random.default_rng(seed)
+    recv = rng.integers(0, n, e)
+    send = np.clip(recv + rng.integers(-band // 2, band // 2, e),
+                   0, n - 1)
+    x = rng.normal(size=(n, feats)).astype(np.float32)
+    return T.canonicalize(x, send, recv, src_windows=True), rng
+
+
+def test_block_layout_invariants():
+    """compute_block_layout: real-edge multiset preserved, per-tile
+    src-sorted eb-aligned ranges, every block's senders inside its
+    128-aligned wb window, pads recv == -1."""
+    g, _ = _v7_graph(0)
+    bl = g.block_layout
+    s7, r7 = np.asarray(bl.send), np.asarray(bl.recv)
+    tp, bb = np.asarray(bl.tile_ptr), np.asarray(bl.base)
+    em = np.asarray(g.edge_mask)
+    ref = sorted(zip(np.asarray(g.senders)[em].tolist(),
+                     np.asarray(g.receivers)[em].tolist()))
+    got = sorted(zip(s7[r7 >= 0].tolist(), r7[r7 >= 0].tolist()))
+    assert ref == got
+    assert bl.wb % 128 == 0 and bl.window % 128 == 0
+    assert bl.wb <= bl.window
+    for ti in range(len(tp) - 1):
+        lo, hi = tp[ti], tp[ti + 1]
+        assert lo % bl.eb == 0 and hi % bl.eb == 0
+        rr, ss = r7[lo:hi], s7[lo:hi]
+        real = rr >= 0
+        assert ((rr[real] // bl.nb) == ti).all()
+        assert (np.diff(ss[real]) >= 0).all()
+    for gi in range(s7.shape[0] // bl.eb):
+        blk = s7[gi * bl.eb:(gi + 1) * bl.eb]
+        assert bb[gi] % 128 == 0
+        assert (blk >= bb[gi]).all() and (blk < bb[gi] + bl.wb).all()
+
+
+@pytest.mark.parametrize("with_dropout,nh,f",
+                         [(False, 4, 8), (True, 8, 8), (False, 1, 7)])
+def test_v7_matches_oracle(with_dropout, nh, f):
+    """fused_gat_window_v7 vs the dense oracle over the layout's real
+    edges: forward + gradients (h, a_src, s_dst, drop), f32 path."""
+    os.environ["GAT_TPU_V6_DTYPE"] = "float32"
+    from gat_pytorch_tpu.ops.pallas.segment_attention_window import (
+        fused_gat_window_v7)
+    g, rng = _v7_graph(1)
+    bl = g.block_layout
+    n = g.num_nodes
+    e7 = bl.num_slots
+    h = jnp.asarray((rng.normal(size=(n, nh * f)) * 0.1).astype(np.float32))
+    a_src = jnp.asarray((rng.normal(size=(nh * f, nh))
+                         / np.sqrt(nh * f)).astype(np.float32))
+    s_dst = jnp.asarray((rng.normal(size=(n, nh)) * 0.1).astype(np.float32))
+    drop = (jnp.asarray((rng.random((e7, nh)) > 0.4).astype(np.float32)
+                        / 0.6) if with_dropout else None)
+    s7, r7 = np.asarray(bl.send), np.asarray(bl.recv)
+    real = np.flatnonzero(r7 >= 0)
+    sd = jnp.asarray(s7[real])
+    rc = jnp.asarray(r7[real])
+    an = (0, 1, 2) + ((3,) if with_dropout else ())
+
+    def lv7(*a):
+        o = fused_gat_window_v7(*a, bl.send, bl.recv, bl.base,
+                                bl.tile_ptr, bl.tile_base, n, nh, f,
+                                bl.window, bl.wb, 1e-8, 0.01, bl.eb,
+                                bl.nb, True)
+        return jnp.sum(jnp.sin(o)), o
+
+    def lref(h_, a_, s_, d_):
+        raw = jnp.take(h_, sd, axis=0) @ a_ + jnp.take(s_, rc, axis=0)
+        cap = jnp.max(raw)
+        pre = raw - cap
+        ex = jnp.exp(jnp.where(pre >= 0, pre, 0.01 * pre))
+        den = jax.ops.segment_sum(ex, rc, num_segments=n)
+        num = ex if d_ is None else ex * jnp.take(d_, jnp.asarray(real),
+                                                  axis=0)
+        w = (jnp.take(h_, sd, axis=0).reshape(-1, nh, f)
+             * num[:, :, None])
+        agg = jax.ops.segment_sum(w, rc, num_segments=n)
+        inv = jnp.where(den > 0, 1.0 / (den + 1e-8), 0.0)
+        o = (agg * inv[:, :, None]).reshape(n, nh * f)
+        return jnp.sum(jnp.sin(o)), o
+
+    (_, o7), g7 = jax.value_and_grad(lv7, argnums=an, has_aux=True)(
+        h, a_src, s_dst, drop)
+    (_, oo), go = jax.value_and_grad(lref, argnums=an, has_aux=True)(
+        h, a_src, s_dst, drop)
+    np.testing.assert_allclose(np.asarray(o7), np.asarray(oo),
+                               rtol=3e-5, atol=3e-5)
+    for a, b, nm in zip(g7, go, ("h", "a_src", "s_dst", "drop")):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=2e-5, err_msg=nm)
+
+
+def test_v7_model_gate_engages_and_matches_xla():
+    """gat_model_apply routes banded graphs with a block_layout through
+    fused_gat_window_v7 in auto mode (interpret on CPU) and matches the
+    XLA backend."""
+    os.environ["GAT_TPU_V6_DTYPE"] = "float32"
+    from gat_pytorch_tpu.models import gat as G
+    g, rng = _v7_graph(2, n=2500, e=16000, band=300, feats=12)
+    assert g.block_layout is not None
+    cfg = G.GATConfig(
+        num_input_node_features=12, num_layers=2,
+        num_heads_per_layer=[4, 4], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[12, 8, 4], num_classes=4,
+        add_skip_connection=[False, False], dropout=0.0)
+    params = G.init_gat_model(jax.random.key(0), cfg)
+    # narrow certification must hold for the auto gate on this graph
+    assert g.block_layout.wb * 128 <= 200 * 1024
+    from gat_pytorch_tpu.ops.pallas import segment_attention_window as W
+    calls = []
+    orig = W.fused_gat_window_v7
+
+    def counted(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    W.fused_gat_window_v7, saved = counted, orig
+    try:
+        out_p = G.gat_model_apply(params, cfg, g, training=False,
+                                  backend="pallas")
+    finally:
+        W.fused_gat_window_v7 = saved
+    assert calls, "v7 gate did not engage"
+    out_x = G.gat_model_apply(params, cfg, g, training=False,
+                              backend="xla")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=5e-5, atol=5e-5)
