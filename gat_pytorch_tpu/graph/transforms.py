@@ -201,7 +201,8 @@ def compute_src_windows(senders: np.ndarray, receivers: np.ndarray,
 
 def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
                          num_real_edges: int, n_pad: int,
-                         nb: int = 256, eb: int = 512) -> BlockLayout:
+                         nb: Optional[int] = None,
+                         eb: Optional[int] = None) -> BlockLayout:
     """v7 block-local window layout (Graph.block_layout, consumed by
     ops/pallas/segment_attention_window.fused_gat_window_v7).
 
@@ -214,7 +215,17 @@ def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
     ranges: the static block window `wb` (max block span, rounded to
     128) is typically a small fraction of the tile band, and every
     kernel contraction against the window shrinks proportionally."""
+    import os
+
     import jax.numpy as jnp
+
+    # block-size A/B knobs (both must be 128-multiples; the kernel is
+    # generic in them — models/gat.py runs at the layout's sizes)
+    nb = nb or int(os.environ.get("GAT_TPU_V7_NB", "256"))
+    eb = eb or int(os.environ.get("GAT_TPU_V7_EB", "512"))
+    if nb % 128 or eb % 128:
+        raise ValueError(f"v7 block sizes must be 128-multiples, "
+                         f"got nb={nb} eb={eb}")
 
     s = np.asarray(senders[:num_real_edges], dtype=np.int64)
     r = np.asarray(receivers[:num_real_edges], dtype=np.int64)

@@ -334,7 +334,10 @@ def gat_layer_apply(params: Params,
         # cost driver drops from w*nhfl to wb*nhfl (~3x on the banded
         # bench), so the auto gate keys on wb.
         bl = block_layout
-        use_v7 = bl is not None and bl.nb == v6_nb and bl.eb == v6_eb
+        # v7 runs at the LAYOUT's block sizes (prep-time choice; the
+        # kernel is generic in eb/nb as long as both are 128-multiples)
+        use_v7 = (bl is not None and bl.eb % 128 == 0
+                  and bl.nb % 128 == 0)
         w = n_rows8
         if use_v7:
             # the kernel pads the node table to >= window rows and clips
@@ -386,7 +389,7 @@ def gat_layer_apply(params: Params,
                     h_flat, a_src, s_dst_n, make_drop(bl.send.shape[0]),
                     bl.send, bl.recv, bl.base, bl.tile_ptr, bl.tile_base,
                     num_nodes, nh, f, bl.window, bl.wb, 1e-8, cfg.slope,
-                    v6_eb, v6_nb, interpret)
+                    bl.eb, bl.nb, interpret)
             else:
                 e_real = jnp.sum(edge_mask).astype(jnp.int32)
                 if w == n_rows8 or tile_lo is None:
@@ -447,6 +450,8 @@ def gat_layer_apply(params: Params,
         # eb=1024 wedges the v5e — never raise past 512.
         nhfl = ((nh * f + 127) // 128) * 128
         v5_eb, v5_nb = (512, 256) if nhfl <= 512 else (256, 128)
+        v5_eb = int(_os.environ.get("GAT_TPU_V5_EB", v5_eb))
+        v5_nb = int(_os.environ.get("GAT_TPU_V5_NB", v5_nb))
         out = fsa.fused_gat_table_autocap(
             h_flat, a_src, s_dst_n, drop_mask, senders, receivers,
             src_order, e_real, num_nodes, nh, f, 1e-8, cfg.slope,
