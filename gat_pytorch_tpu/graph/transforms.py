@@ -219,10 +219,15 @@ def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
 
     import jax.numpy as jnp
 
-    # block-size A/B knobs (both must be 128-multiples; the kernel is
-    # generic in them — models/gat.py runs at the layout's sizes)
-    nb = nb or int(os.environ.get("GAT_TPU_V7_NB", "256"))
-    eb = eb or int(os.environ.get("GAT_TPU_V7_EB", "512"))
+    # block-size knobs (both must be 128-multiples; the kernel is
+    # generic in them — models/gat.py runs at the layout's sizes).
+    # Defaults from the on-chip sweep (benchmarks/probe_v7_blocks.py,
+    # banded 5M-edge step): eb=1024/nb=512 -> 95.1M edges/s vs 76.7M at
+    # 512/256 — the static wb is set by sparse-tile outliers, so small
+    # blocks only add per-block fixed costs; at eb=1024 the typical
+    # block span equals wb.
+    nb = nb or int(os.environ.get("GAT_TPU_V7_NB", "512"))
+    eb = eb or int(os.environ.get("GAT_TPU_V7_EB", "1024"))
     if nb % 128 or eb % 128:
         raise ValueError(f"v7 block sizes must be 128-multiples, "
                          f"got nb={nb} eb={eb}")
