@@ -39,10 +39,11 @@ import time
 import numpy as np
 
 # Measured via `python bench.py --measure_baseline` on the v5e chip
-# (round 3 with the rbg dropout chain: 7.1296e6; round 2: 7.0757e6;
-# round 1: 7.09e6 — consistent re-measures, the baseline step is
-# segment-op-bound so the dropout-mask speedup barely moves it).
-XLA_BASELINE_EDGES_PER_S = 7.1296e6
+# (round 4 on the RCM-reordered Cora graph: 7.1991e6; round 3 with the
+# rbg dropout chain: 7.1296e6; round 2: 7.0757e6; round 1: 7.09e6 —
+# consistent re-measures, the baseline step is segment-op-bound so
+# neither the dropout-mask speedup nor the node relabelling moves it).
+XLA_BASELINE_EDGES_PER_S = 7.1991e6
 
 
 def hbm_bandwidth_bytes_per_s() -> float:
@@ -160,7 +161,12 @@ def cora_workload():
     from gat_pytorch_tpu.utils.config import get_config
     run_cfg = get_config("Cora")
     raw = datasets.load_planetoid("Cora", seed=0)
-    graph = loader.transductive_graph(raw)
+    # RCM + block-local windows: one-time host preprocessing (labels,
+    # masks, outputs permuted consistently — same training function);
+    # Cora compresses to wb=1024 and the v7 kernel beats v5 by ~5%
+    # (docs/PERF.md round 4)
+    graph = loader.transductive_graph(raw, reorder="rcm",
+                                      src_windows=True)
     return (run_cfg.gat_config(), graph, make_task("Cora"),
             run_cfg.learning_rate, run_cfg.l2_reg)
 

@@ -74,9 +74,19 @@ class InductiveBatcher:
         return batches
 
 
-def transductive_graph(raw: RawGraph, pad_multiple: int = 128) -> Graph:
-    """Single full-graph Graph with split masks (Planetoid path)."""
+def transductive_graph(raw: RawGraph, pad_multiple: int = 128,
+                       reorder: str = None,
+                       src_windows: bool = False) -> Graph:
+    """Single full-graph Graph with split masks (Planetoid path).
+
+    reorder="rcm" + src_windows=True relabels nodes by reverse
+    Cuthill-McKee and emits the windowed/block-local kernel metadata
+    (Graph.tile_lo / Graph.block_layout) — labels, masks, and outputs
+    are permuted consistently (Graph.node_order maps back), so training
+    and metrics are unchanged while the attention kernels run the
+    banded fast path when the graph compresses."""
     return T.canonicalize(
         raw.x, raw.senders, raw.receivers, y=raw.y,
         train_mask=raw.train_mask, val_mask=raw.val_mask,
-        test_mask=raw.test_mask, pad_multiple=pad_multiple)
+        test_mask=raw.test_mask, pad_multiple=pad_multiple,
+        reorder=reorder, src_windows=src_windows)

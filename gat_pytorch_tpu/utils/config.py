@@ -52,6 +52,9 @@ class RunConfig:
     # neighbor-sampled minibatching (transductive only); e.g. "10,10"
     sampling_fanouts: Optional[str] = None
     sampling_batch_size: int = 128
+    # host preprocessing: "rcm" relabels nodes (reverse Cuthill-McKee)
+    # and emits the block-local window layout for the v7 kernel
+    reorder: Optional[str] = None
 
     def gat_config(self) -> GATConfig:
         return GATConfig(
