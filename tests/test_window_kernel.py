@@ -180,11 +180,14 @@ def _v7_graph(seed, n=1500, e=9000, band=400, feats=8):
     return T.canonicalize(x, send, recv, src_windows=True), rng
 
 
-def test_block_layout_invariants():
+@pytest.mark.parametrize("band", [400, 1100])
+def test_block_layout_invariants(band):
     """compute_block_layout: real-edge multiset preserved, per-tile
     src-sorted eb-aligned ranges, every block's senders inside its
-    128-aligned wb window, pads recv == -1."""
-    g, _ = _v7_graph(0)
+    128-aligned wb window, pads recv == -1. band=1100 exercises the
+    span-capped greedy blocking (outlier blocks split so the static wb
+    tracks the typical span, not the max)."""
+    g, _ = _v7_graph(0, band=band)
     bl = g.block_layout
     s7, r7 = np.asarray(bl.send), np.asarray(bl.recv)
     tp, bb = np.asarray(bl.tile_ptr), np.asarray(bl.base)
