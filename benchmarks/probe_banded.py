@@ -22,12 +22,17 @@ def main() -> None:
     cfg, graph, task, lr, l2 = bench.banded_workload()
     import numpy as np
     e_real = int(np.asarray(graph.edge_mask).sum())
-    for v6 in os.environ.get("GAT_TPU_PROBE_CASES", "auto,0").split(","):
+    # case syntax: "<v6>[/<ablate-tokens>]" — e.g. "auto/onehot+gather"
+    # sets GAT_TPU_V7_ABLATE=onehot,gather (profiling-only: results are
+    # WRONG under ablation; only the timing delta is meaningful)
+    for case in os.environ.get("GAT_TPU_PROBE_CASES", "auto,0").split(","):
+        v6, _, abl = case.partition("/")
         os.environ["GAT_TPU_V6"] = v6
+        os.environ["GAT_TPU_V7_ABLATE"] = abl.replace("+", ",")
         dt = bench.measure_train_step(cfg, graph, task, lr, l2,
                                       inner, iters)
         print(json.dumps({
-            "v6": v6,
+            "v6": v6, "ablate": abl,
             "ms_per_step": round(dt * 1e3, 4),
             "edges_per_s": round(cfg.num_layers * e_real / dt, 1),
         }), flush=True)

@@ -84,6 +84,23 @@ def _v6_dtype():
 _I32_MAX = np.int32(2 ** 31 - 1)
 
 
+def _ablate():
+    """Profiling-only kernel ablations (GAT_TPU_V7_ABLATE, comma list).
+    Each token removes one class of in-kernel work so an on-chip A/B
+    attributes the kernel's time budget (results become WRONG — never
+    set outside benchmarks/probe_banded.py):
+      cap     — skip the phase-0 cap sweep's block loop entirely
+      onehot  — replace iota+compare one-hot construction by constants
+      scores  — zero the s_src/s_dst_e score gathers (and their matmuls)
+      gather  — zero the feature gather contraction
+      scatter — skip the backward d(h) one-hot scatter contraction
+      payload — zero the backward per-dst payload gather contraction
+    """
+    import os
+    return frozenset(
+        t for t in os.environ.get("GAT_TPU_V7_ABLATE", "").split(",") if t)
+
+
 def _expander(nh8, nhf8, nh, f):
     rows = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (nh8, nhf8), 1)
@@ -104,7 +121,8 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                wbuf, mbuf, sems, msems, capacc, codeacc,
                *, eb: int, nb: int, nh: int, f: int, nh8: int,
                nhf8: int, nhfl: int, w: int, eps: float, slope: float,
-               with_dropout: bool, resident: bool, wb: int = 0):
+               with_dropout: bool, resident: bool, wb: int = 0,
+               ablate: frozenset = frozenset()):
     # wb > 0 selects the v7 BLOCK-LOCAL window mode (Graph.block_layout):
     # tile offsets are eb-aligned (no shared overlap blocks) and every
     # edge block's one-hot/gather/scatter contractions run against a
@@ -128,7 +146,8 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
 
     @pl.when(i == 0)
     def _():
-        capacc[:] = jnp.full_like(capacc, NEG_INF)
+        capacc[:] = (jnp.zeros_like(capacc) if "cap" in ablate
+                     else jnp.full_like(capacc, NEG_INF))
         codeacc[:] = jnp.full_like(codeacc, _I32_MAX)
 
     # ---- window stream ---------------------------------------------------
@@ -164,9 +183,12 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     else:
         win_t = wbuf[wslot_ix].astype(jnp.float32).T        # (NHFL, W)
         # per-tile source scores over the window: s_src_win (NH8, W)
-        s_src_win = jax.lax.dot_general(
-            a_src_t, win_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if "scores" in ablate:
+            s_src_win = jnp.zeros((nh8, w), jnp.float32)
+        else:
+            s_src_win = jax.lax.dot_general(
+                a_src_t, win_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     base_i = (base_ref[ti] // 8) * 8
     base_f = base_i.astype(jnp.float32)
@@ -176,7 +198,13 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
                                      mbuf.at[slot], msems.at[slot])
 
-    @pl.when(nblocks > 0)
+    # under the "cap" ablation phase 0 does nothing, so its initial meta
+    # DMA must not start either (an unwaited completion would leave the
+    # semaphore unbalanced at kernel exit)
+    start_ok = (nblocks > 0) if "cap" not in ablate else (
+        (nblocks > 0) & (phase == 1))
+
+    @pl.when(start_ok)
     def _():
         dma_m(0, 0).start()
 
@@ -196,9 +224,12 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         off = pl.multiple_of((off // 8) * 8, 8)
         blk = wbuf[wslot_ix, pl.ds(off, wb), :].astype(jnp.float32)
         blk_t = blk.T                                        # (NHFL, WB)
-        s_src_blk = jax.lax.dot_general(
-            a_src_t, blk_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (NH8, WB)
+        if "scores" in ablate:
+            s_src_blk = jnp.zeros((nh8, wb), jnp.float32)
+        else:
+            s_src_blk = jax.lax.dot_general(
+                a_src_t, blk_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (NH8, WB)
         return blk_t, s_src_blk, (base_i + off).astype(jnp.float32), wb
 
     def edge_inputs(slot, b):
@@ -207,21 +238,29 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         recv_at = nh8 if with_dropout else 0
         recv_row = meta[recv_at:recv_at + 1, :]             # (1, EB)
         src_row = meta[recv_at + 1:recv_at + 2, :]          # (1, EB)
-        rows = (ti * nb
-                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
-                ).astype(jnp.float32)
-        onehot_dst = (recv_row == rows).astype(jnp.float32)  # (NB, EB)
         wt_blk, ss_win, wrow0, wn = block_window(b)
-        wrow = (wrow0
-                + jax.lax.broadcasted_iota(jnp.int32, (wn, eb), 0
-                                           ).astype(jnp.float32))
-        onehot_w = (src_row == wrow).astype(jnp.float32)     # (WN, EB)
-        s_src = jax.lax.dot_general(
-            ss_win, onehot_w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (NH8, EB)
-        s_dst_e = jax.lax.dot_general(
-            s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (NH8, EB)
+        if "onehot" in ablate:
+            onehot_dst = jnp.full((nb, eb), 1e-3, jnp.float32)
+            onehot_w = jnp.full((wn, eb), 1e-3, jnp.float32)
+        else:
+            rows = (ti * nb
+                    + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                    ).astype(jnp.float32)
+            onehot_dst = (recv_row == rows).astype(jnp.float32)  # (NB, EB)
+            wrow = (wrow0
+                    + jax.lax.broadcasted_iota(jnp.int32, (wn, eb), 0
+                                               ).astype(jnp.float32))
+            onehot_w = (src_row == wrow).astype(jnp.float32)     # (WN, EB)
+        if "scores" in ablate:
+            s_src = jnp.zeros((nh8, eb), jnp.float32)
+            s_dst_e = jnp.zeros((nh8, eb), jnp.float32)
+        else:
+            s_src = jax.lax.dot_general(
+                ss_win, onehot_w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (NH8, EB)
+            s_dst_e = jax.lax.dot_general(
+                s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (NH8, EB)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
         return (meta, recv_row, onehot_dst, onehot_w, s_src, s_dst_e,
                 col, wt_blk)
@@ -268,10 +307,13 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         ex = jnp.where(col < e_real, ex, 0.0)               # (NH8, EB)
 
         dt = _v6_dtype()
-        gathered_t = jax.lax.dot_general(
-            wt_blk.astype(dt), onehot_w.astype(dt),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (NHFL, EB)
+        if "gather" in ablate:
+            gathered_t = jnp.zeros((nhfl, eb), jnp.float32)
+        else:
+            gathered_t = jax.lax.dot_general(
+                wt_blk.astype(dt), onehot_w.astype(dt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (NHFL, EB)
         h_t = gathered_t[:nhf8]
 
         num_t = ex
@@ -289,8 +331,9 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
 
     @pl.when(phase == 0)
     def _():
+        nb_cap = jnp.int32(0) if "cap" in ablate else nblocks
         vmax, vcode = jax.lax.fori_loop(
-            0, nblocks, cap_body,
+            0, nb_cap, cap_body,
             (jnp.float32(NEG_INF), _I32_MAX * jnp.int32(1)))
         # fold this tile's (max, code) into the persistent accumulators
         old = capacc[0, 0]
@@ -419,7 +462,8 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
     kernel = functools.partial(
         _kernel_v6, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
-        with_dropout=with_dropout, resident=resident, wb=wb)
+        with_dropout=with_dropout, resident=resident, wb=wb,
+        ablate=_ablate())
     e = receivers.shape[0]
     acc_t, cap_o, code_o = pl.pallas_call(
         kernel,
@@ -465,7 +509,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                    *, eb: int, nb: int, nh: int, f: int, nh8: int,
                    nhf8: int, nhfl: int, w: int, eps: float,
                    slope: float, with_dropout: bool, resident: bool,
-                   wb: int = 0):
+                   wb: int = 0, ablate: frozenset = frozenset()):
     v7 = wb > 0                       # block-local windows (see _kernel_v6)
     i = pl.program_id(0)
     t = pl.num_programs(0)
@@ -523,9 +567,12 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         win_t = s_src_win = None      # per-block slices instead
     else:
         win_t = wbuf[wslot_ix].astype(jnp.float32).T        # (NHFL, W)
-        s_src_win = jax.lax.dot_general(
-            a_src_t, win_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (NH8, W)
+        if "scores" in ablate:
+            s_src_win = jnp.zeros((nh8, w), jnp.float32)
+        else:
+            s_src_win = jax.lax.dot_general(
+                a_src_t, win_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (NH8, W)
     base = pl.multiple_of((base_ref[i] // 8) * 8, 8)
     base_f = base.astype(jnp.float32)
 
@@ -539,9 +586,12 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         off = jnp.minimum(jnp.maximum(bbase_ref[goff] - base, 0), w - wb)
         off = pl.multiple_of((off // 8) * 8, 8)
         blk_t = wbuf[wslot_ix, pl.ds(off, wb), :].astype(jnp.float32).T
-        s_src_blk = jax.lax.dot_general(
-            a_src_t, blk_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (NH8, WB)
+        if "scores" in ablate:
+            s_src_blk = jnp.zeros((nh8, wb), jnp.float32)
+        else:
+            s_src_blk = jax.lax.dot_general(
+                a_src_t, blk_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (NH8, WB)
         return blk_t, s_src_blk, (base + off).astype(jnp.float32), wb, off
 
     if resident:
@@ -587,22 +637,30 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         recv_at = nh8 if with_dropout else 0
         recv_row = meta[recv_at:recv_at + 1, :]
         src_row = meta[recv_at + 1:recv_at + 2, :]
-        rows = (i * nb
-                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
-                ).astype(jnp.float32)
-        onehot_dst = (recv_row == rows).astype(jnp.float32)  # (NB, EB)
         wt_blk, ss_win, wrow0, wn, woff = block_window(b)
-        wrow = (wrow0
-                + jax.lax.broadcasted_iota(jnp.int32, (wn, eb), 0
-                                           ).astype(jnp.float32))
-        onehot_w = (src_row == wrow).astype(jnp.float32)     # (WN, EB)
+        if "onehot" in ablate:
+            onehot_dst = jnp.full((nb, eb), 1e-3, jnp.float32)
+            onehot_w = jnp.full((wn, eb), 1e-3, jnp.float32)
+        else:
+            rows = (i * nb
+                    + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                    ).astype(jnp.float32)
+            onehot_dst = (recv_row == rows).astype(jnp.float32)  # (NB, EB)
+            wrow = (wrow0
+                    + jax.lax.broadcasted_iota(jnp.int32, (wn, eb), 0
+                                               ).astype(jnp.float32))
+            onehot_w = (src_row == wrow).astype(jnp.float32)     # (WN, EB)
 
-        s_src = jax.lax.dot_general(
-            ss_win, onehot_w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s_dst_e = jax.lax.dot_general(
-            s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if "scores" in ablate:
+            s_src = jnp.zeros((nh8, eb), jnp.float32)
+            s_dst_e = jnp.zeros((nh8, eb), jnp.float32)
+        else:
+            s_src = jax.lax.dot_general(
+                ss_win, onehot_w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s_dst_e = jax.lax.dot_general(
+                s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         pre = (s_src + s_dst_e) - cap
         lgt = jnp.where(pre >= 0.0, pre, slope * pre)
         ex = jnp.exp(lgt)
@@ -611,16 +669,22 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         ex = jnp.where(in_range, ex, 0.0)
 
         dt = _v6_dtype()
-        gathered_t = jax.lax.dot_general(
-            wt_blk.astype(dt), onehot_w.astype(dt),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (NHFL, EB)
+        if "gather" in ablate:
+            gathered_t = jnp.zeros((nhfl, eb), jnp.float32)
+        else:
+            gathered_t = jax.lax.dot_general(
+                wt_blk.astype(dt), onehot_w.astype(dt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (NHFL, EB)
         h_t = gathered_t[:nhf8]
 
         payload = jnp.concatenate([g_t[:], inv_d, d_den], axis=0)
-        payload_e = jax.lax.dot_general(
-            payload, onehot_dst, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if "payload" in ablate:
+            payload_e = jnp.zeros((payload.shape[0], eb), jnp.float32)
+        else:
+            payload_e = jax.lax.dot_general(
+                payload, onehot_dst, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         g_e = payload_e[0:nhf8, :]
         invd_e = payload_e[nhf8:nhf8 + nh8, :]
         dden_e = payload_e[nhf8 + nh8:nhf8 + 2 * nh8, :]
@@ -655,14 +719,15 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         # d(h) scattered into the WINDOW accumulator — the one-hot's
         # transpose is the scatter (no permute, no sorted-segment pass).
         # v7 accumulates into the block's wb-row sub-slice of dwin.
-        dupd = jax.lax.dot_general(
-            onehot_w.astype(dt), d_h_full.astype(dt),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (WN, NHFL)
-        if v7:
-            dwin[pl.ds(woff, wb), :] += dupd
-        else:
-            dwin[:] += dupd
+        if "scatter" not in ablate:
+            dupd = jax.lax.dot_general(
+                onehot_w.astype(dt), d_h_full.astype(dt),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (WN, NHFL)
+            if v7:
+                dwin[pl.ds(woff, wb), :] += dupd
+            else:
+                dwin[:] += dupd
 
         dsdst_ref[:] += jax.lax.dot_general(
             d_raw, onehot_dst, (((1,), (1,)), ((), ())),
@@ -820,7 +885,8 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
     kernel = functools.partial(
         _kernel_v6_bwd, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
-        with_dropout=with_dropout, resident=resident, wb=wb)
+        with_dropout=with_dropout, resident=resident, wb=wb,
+        ablate=_ablate())
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

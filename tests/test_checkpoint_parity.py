@@ -196,7 +196,13 @@ def test_training_dynamics_parity_vs_torch():
             pt = updated_t[2 * i + j].T
             pj = np.asarray(new_params["layers"][i][key])
             g_ref = grads_t[2 * i + j].T
-            decisive = np.abs(g_ref) > 1e-4 * max(np.abs(g_ref).max(), 1e-30)
+            # 1e-3 (not 1e-4): Adam's step-1 update is ~lr*sign(g), so an
+            # entry whose |g| sits within f32-noise of the cutoff can
+            # sign-flip between compilations (observed once as a
+            # suite-order flake); coverage is identical at either cutoff
+            # (W 0.98+, a 0.50) and 1e-3 gives ~20x margin over the
+            # cross-side grad tolerance above
+            decisive = np.abs(g_ref) > 1e-3 * max(np.abs(g_ref).max(), 1e-30)
             # >40%: `a`'s cross-head structure leaves roughly half its
             # entries with near-zero gradient on a converged checkpoint
             assert decisive.mean() > 0.4, (i, key, decisive.mean())
