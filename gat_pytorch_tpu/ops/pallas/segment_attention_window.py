@@ -118,8 +118,8 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                s_dst_ref,          # (NH8, NB) VMEM per tile (i % T)
                acc_ref,            # (NHF8+NH8, NB) VMEM out per tile
                cap_ref, code_ref,  # (8, 128) VMEM outs, constant index
-               wbuf, mbuf, sems, msems, capacc, codeacc,
-               *, eb: int, nb: int, nh: int, f: int, nh8: int,
+               *rest,
+               eb: int, nb: int, nh: int, f: int, nh8: int,
                nhf8: int, nhfl: int, w: int, eps: float, slope: float,
                with_dropout: bool, resident: bool, wb: int = 0,
                ablate: frozenset = frozenset()):
@@ -128,7 +128,25 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     # edge block's one-hot/gather/scatter contractions run against a
     # wb-row 128-aligned slice of the streamed tile window instead of the
     # whole w rows — VPU construction and MXU FLOPs per edge drop by w/wb.
+    #
+    # v7 additionally runs the v8 RAW-SCORE pipeline: the phase-0 cap
+    # sweep already computes every edge's raw logit (s_src + s_dst) —
+    # instead of discarding it, each block's (NH8, EB) f32 raw tile is
+    # DMAed to raw_hbm, and phase 1 reads it back. The main phase then
+    # needs NO score matmuls and NO f32 one-hots (the gather/acc
+    # contractions take the one-hot in the contraction dtype directly),
+    # and the one-hot row iotas are hoisted to tile level. Bit-identical
+    # math — raw is the same dot_general output either way. Motivated by
+    # the round-2 ablation sweep (docs/PERF.md): one-hot construction
+    # 39 ms + score matmuls 18 ms of the 115.6 ms banded 5M step, vs
+    # ~0.6 ms/layer of extra HBM traffic for the raw tiles.
     v7 = wb > 0
+    if v7:
+        (raw_hbm, wbuf, mbuf, sems, msems, capacc, codeacc,
+         rawbuf, rawsems) = rest
+    else:
+        raw_hbm = rawbuf = rawsems = None
+        wbuf, mbuf, sems, msems, capacc, codeacc = rest
     i = pl.program_id(0)
     t = pl.num_programs(0) // 2
     ti = jax.lax.rem(i, t)
@@ -193,10 +211,33 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     base_i = (base_ref[ti] // 8) * 8
     base_f = base_i.astype(jnp.float32)
 
+    if v7:
+        # hoisted one-hot row iotas: built once per TILE; the per-block
+        # shift folds into the (1, EB) id rows instead (the iota+offset
+        # used to be rebuilt per block per phase — a measurable slice of
+        # the 39 ms construction cost in the round-2 ablation)
+        rows_nb_f = jax.lax.broadcasted_iota(
+            jnp.int32, (nb, eb), 0).astype(jnp.float32)
+        rows_wb_f = jax.lax.broadcasted_iota(
+            jnp.int32, (wb, eb), 0).astype(jnp.float32)
+
     def dma_m(slot, b):
         start = pl.multiple_of(lo + b * eb, eb)
         return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
                                      mbuf.at[slot], msems.at[slot])
+
+    if v7:
+        def dma_raw_w(slot, b):
+            start = pl.multiple_of(lo + b * eb, eb)
+            return pltpu.make_async_copy(
+                rawbuf.at[slot], raw_hbm.at[:, pl.ds(start, eb)],
+                rawsems.at[slot])
+
+        def dma_raw_r(slot, b):
+            start = pl.multiple_of(lo + b * eb, eb)
+            return pltpu.make_async_copy(
+                raw_hbm.at[:, pl.ds(start, eb)], rawbuf.at[slot],
+                rawsems.at[slot])
 
     # under the "cap" ablation phase 0 does nothing, so its initial meta
     # DMA must not start either (an unwaited completion would leave the
@@ -208,7 +249,15 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     def _():
         dma_m(0, 0).start()
 
-    def block_window(b):
+    if v7:
+        # phase 1 streams the raw logits written by phase 0 (the whole
+        # phase-0 sweep precedes phase 1 in the sequential grid, and each
+        # tile drains its raw writes before returning)
+        @pl.when((nblocks > 0) & (phase == 1))
+        def _():
+            dma_raw_r(0, 0).start()
+
+    def block_window(b, need_scores=True):
         """(win_t slice (NHFL, WN), s_src over it (NH8, WN), first row,
         row count) for block b — the whole tile window in legacy mode,
         the block's wb-row 128-aligned sub-window in v7 mode (loaded as
@@ -224,12 +273,14 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         off = pl.multiple_of((off // 8) * 8, 8)
         blk = wbuf[wslot_ix, pl.ds(off, wb), :].astype(jnp.float32)
         blk_t = blk.T                                        # (NHFL, WB)
-        if "scores" in ablate:
-            s_src_blk = jnp.zeros((nh8, wb), jnp.float32)
+        if not need_scores or "scores" in ablate:
+            s_src_blk = None
         else:
             s_src_blk = jax.lax.dot_general(
                 a_src_t, blk_t, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (NH8, WB)
+        if "scores" in ablate and need_scores:
+            s_src_blk = jnp.zeros((nh8, wb), jnp.float32)
         return blk_t, s_src_blk, (base_i + off).astype(jnp.float32), wb
 
     def edge_inputs(slot, b):
@@ -242,6 +293,11 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         if "onehot" in ablate:
             onehot_dst = jnp.full((nb, eb), 1e-3, jnp.float32)
             onehot_w = jnp.full((wn, eb), 1e-3, jnp.float32)
+        elif v7:
+            onehot_dst = ((recv_row - (ti * nb).astype(jnp.float32))
+                          == rows_nb_f).astype(jnp.float32)  # (NB, EB)
+            onehot_w = ((src_row - wrow0)
+                        == rows_wb_f).astype(jnp.float32)    # (WN, EB)
         else:
             rows = (ti * nb
                     + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
@@ -278,6 +334,15 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         (meta, recv_row, onehot_dst, onehot_w, s_src, s_dst_e,
          col, _wsl) = edge_inputs(slot, b)
         raw = s_src + s_dst_e
+        if v7:
+            # v8: persist this block's raw logits for phase 1 / backward
+            # (pipelined writes: only wait for the write issued two
+            # blocks ago before reusing its buffer slot)
+            @pl.when(b >= 2)
+            def _():
+                dma_raw_w(slot, b - 2).wait()
+            rawbuf[slot] = raw
+            dma_raw_w(slot, b).start()
         head = jax.lax.broadcasted_iota(jnp.int32, (nh8, eb), 0)
         in_tile = ((recv_row >= ti * nb) & (recv_row < ti * nb + nb))
         valid = (head < nh) & (col < e_real) & in_tile
@@ -329,12 +394,79 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
             preferred_element_type=jnp.float32)     # (NHF8+NH8, NB)
         return 0
 
+    def main_body_v7(b, _):
+        # v8 main phase: raw logits stream in from phase 0 — no score
+        # matmuls, and the one-hots are built once, directly in the
+        # contraction dtype (no f32 instance, no extra convert pass)
+        slot = b % 2
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_m((b + 1) % 2, b + 1).start()
+            dma_raw_r((b + 1) % 2, b + 1).start()
+
+        dma_m(slot, b).wait()
+        dma_raw_r(slot, b).wait()
+        start = pl.multiple_of(lo + b * eb, eb)
+        meta = mbuf[slot]
+        recv_at = nh8 if with_dropout else 0
+        recv_row = meta[recv_at:recv_at + 1, :]             # (1, EB)
+        src_row = meta[recv_at + 1:recv_at + 2, :]          # (1, EB)
+        wt_blk, _ss, wrow0, wn = block_window(b, need_scores=False)
+        dt = _v6_dtype()
+        if "onehot" in ablate:
+            onehot_dst_dt = jnp.full((nb, eb), 1e-3, dt)
+            onehot_w_dt = jnp.full((wn, eb), 1e-3, dt)
+        else:
+            onehot_dst_dt = ((recv_row - (ti * nb).astype(jnp.float32))
+                             == rows_nb_f).astype(dt)        # (NB, EB)
+            onehot_w_dt = ((src_row - wrow0)
+                           == rows_wb_f).astype(dt)          # (WN, EB)
+        cap = jnp.max(capacc[:])
+        pre = rawbuf[slot] - cap
+        lgt = jnp.where(pre >= 0.0, pre, slope * pre)
+        ex = jnp.exp(lgt)
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
+        ex = jnp.where(col < e_real, ex, 0.0)               # (NH8, EB)
+
+        if "gather" in ablate:
+            gathered_t = jnp.zeros((nhfl, eb), jnp.float32)
+        else:
+            gathered_t = jax.lax.dot_general(
+                wt_blk.astype(dt), onehot_w_dt,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (NHFL, EB)
+        h_t = gathered_t[:nhf8]
+
+        num_t = ex
+        if with_dropout:
+            num_t = num_t * meta[0:nh8, :]
+        num_wide = jax.lax.dot_general(
+            expander, num_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NHF8, EB)
+        weighted_t = h_t * num_wide
+        combined = jnp.concatenate([weighted_t, ex], axis=0).astype(dt)
+        acc_ref[:] += jax.lax.dot_general(
+            combined, onehot_dst_dt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (NHF8+NH8, NB)
+        return 0
+
     @pl.when(phase == 0)
     def _():
         nb_cap = jnp.int32(0) if "cap" in ablate else nblocks
         vmax, vcode = jax.lax.fori_loop(
             0, nb_cap, cap_body,
             (jnp.float32(NEG_INF), _I32_MAX * jnp.int32(1)))
+        if v7 and "cap" not in ablate:
+            # drain this tile's in-flight raw writes before the next grid
+            # step (phase 1 of some tile reads them via the same HBM ref)
+            @pl.when(nblocks >= 2)
+            def _():
+                dma_raw_w((nblocks - 2) % 2, nblocks - 2).wait()
+
+            @pl.when(nblocks >= 1)
+            def _():
+                dma_raw_w((nblocks - 1) % 2, nblocks - 1).wait()
         # fold this tile's (max, code) into the persistent accumulators
         old = capacc[0, 0]
         oldc = codeacc[0, 0]
@@ -350,7 +482,8 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     @pl.when(phase == 1)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        jax.lax.fori_loop(0, nblocks, main_body, 0)
+        jax.lax.fori_loop(0, nblocks, main_body_v7 if v7 else main_body,
+                          0)
         d = acc_ref[nhf8:, :]
         inv = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
         inv_wide = jax.lax.dot_general(
@@ -448,7 +581,8 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
                          memory_space=pltpu.VMEM),              # cap
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),              # code
-        ],
+        ] + ([pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # raw
+             if wb else []),
         scratch_shapes=[
             pltpu.VMEM((1 if resident else 2, window, nhfl),
                        h8.dtype),                               # wbuf
@@ -457,7 +591,8 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((8, 128), jnp.float32),                  # capacc
             pltpu.VMEM((8, 128), jnp.int32),                    # codeacc
-        ],
+        ] + ([pltpu.VMEM((2, nh8, eb), jnp.float32),            # rawbuf
+              pltpu.SemaphoreType.DMA((2,))] if wb else []),
     )
     kernel = functools.partial(
         _kernel_v6, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
@@ -465,28 +600,31 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
         with_dropout=with_dropout, resident=resident, wb=wb,
         ablate=_ablate())
     e = receivers.shape[0]
-    acc_t, cap_o, code_o = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nhf8 + nh8, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.int32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((nh8, meta.shape[1]), jnp.float32)]
+             if wb else []),
         cost_estimate=pl.CostEstimate(
             flops=2 * (e + eb) * (2 * (wb or window) * nh8
                                   + (wb or window) * nhfl
                                   + 2 * nb * (nhf8 + nh8)),
             bytes_accessed=(1 if resident else 2 * t)
             * window * nhfl * 4
-            + 2 * (e + eb) * meta.shape[0] * 4
+            + (2 + (2 if wb else 0)) * (e + eb) * meta.shape[0] * 4
             + n_pad * (nhf8 + nh8) * 4,
             transcendentals=(e + eb) * nh8),
         interpret=interpret,
     )(pref, base, bbase, h8, meta, a_pad, s_dst_t)
+    acc_t, cap_o, code_o = outs[:3]
+    raw = outs[3] if wb else None
     return (acc_t[:nh * f].T[:num_nodes],
             acc_t[nhf8:nhf8 + nh].T[:num_nodes],
-            cap_o[0, 0], code_o[0, 0])
+            cap_o[0, 0], code_o[0, 0], raw)
 
 
 def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
@@ -500,17 +638,24 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                    s_dst_ref,              # (NH8, NB) per tile
                    a_src_ref,              # (NHFL, NH8) whole
                    cap_sref,               # (1, 1) SMEM
-                   dtab_hbm, dmeta_hbm,    # aliased outputs
-                   dsdst_ref,              # (NH8, NB) VMEM out per tile
-                   dasrc_ref,              # (NHFL, NH8) VMEM grid-acc
-                   dcap_ref,               # (8, 128) VMEM grid-acc
-                   wbuf, mbuf, dwin, dmbuf, rwin, rmbuf,
-                   sems, msems, wsems, rsems,
-                   *, eb: int, nb: int, nh: int, f: int, nh8: int,
+                   *rest,
+                   eb: int, nb: int, nh: int, f: int, nh8: int,
                    nhf8: int, nhfl: int, w: int, eps: float,
                    slope: float, with_dropout: bool, resident: bool,
                    wb: int = 0, ablate: frozenset = frozenset()):
     v7 = wb > 0                       # block-local windows (see _kernel_v6)
+    # v7 runs the v8 raw-score pipeline: raw logits saved by the forward
+    # stream in per block — no score matmuls, no f32 onehot_w (see
+    # _kernel_v6). rest = [raw_hbm?] + outputs + scratch + [rawbuf/sems?]
+    if v7:
+        (raw_hbm, dtab_hbm, dmeta_hbm, dsdst_ref, dasrc_ref, dcap_ref,
+         wbuf, mbuf, dwin, dmbuf, rwin, rmbuf, sems, msems, wsems,
+         rsems, rawbuf, rawsems) = rest
+    else:
+        raw_hbm = rawbuf = rawsems = None
+        (dtab_hbm, dmeta_hbm, dsdst_ref, dasrc_ref, dcap_ref,
+         wbuf, mbuf, dwin, dmbuf, rwin, rmbuf, sems, msems, wsems,
+         rsems) = rest
     i = pl.program_id(0)
     t = pl.num_programs(0)
     if v7:
@@ -576,7 +721,14 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
     base = pl.multiple_of((base_ref[i] // 8) * 8, 8)
     base_f = base.astype(jnp.float32)
 
-    def block_window(b):
+    if v7:
+        # hoisted one-hot row iotas (see _kernel_v6)
+        rows_nb_f = jax.lax.broadcasted_iota(
+            jnp.int32, (nb, eb), 0).astype(jnp.float32)
+        rows_wb_f = jax.lax.broadcasted_iota(
+            jnp.int32, (wb, eb), 0).astype(jnp.float32)
+
+    def block_window(b, need_scores=True):
         """Block-local sub-window of the wbuf REF (v7) or the whole tile
         window — see _kernel_v6.block_window. Also returns the slice
         offset for the dwin scatter."""
@@ -586,7 +738,9 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         off = jnp.minimum(jnp.maximum(bbase_ref[goff] - base, 0), w - wb)
         off = pl.multiple_of((off // 8) * 8, 8)
         blk_t = wbuf[wslot_ix, pl.ds(off, wb), :].astype(jnp.float32).T
-        if "scores" in ablate:
+        if not need_scores:
+            s_src_blk = None
+        elif "scores" in ablate:
             s_src_blk = jnp.zeros((nh8, wb), jnp.float32)
         else:
             s_src_blk = jax.lax.dot_general(
@@ -612,9 +766,18 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                                      dmeta_hbm.at[:, pl.ds(start, eb)],
                                      wsems.at[slot])
 
+    if v7:
+        def dma_raw_r(slot, b):
+            start = pl.multiple_of(lo + b * eb, eb)
+            return pltpu.make_async_copy(
+                raw_hbm.at[:, pl.ds(start, eb)], rawbuf.at[slot],
+                rawsems.at[slot])
+
     @pl.when(nblocks > 0)
     def _():
         dma_m(0, 0).start()
+        if v7:
+            dma_raw_r(0, 0).start()
 
     def body(b, _):
         slot = b % 2
@@ -623,8 +786,12 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         @pl.when(b + 1 < nblocks)
         def _():
             dma_m((b + 1) % 2, b + 1).start()
+            if v7:
+                dma_raw_r((b + 1) % 2, b + 1).start()
 
         dma_m(slot, b).wait()
+        if v7:
+            dma_raw_r(slot, b).wait()
         # pipelined d_drop writes: only wait for the write issued two
         # blocks ago before reusing its buffer slot (in-tile writes are
         # disjoint; the cross-tile overlap block is covered by the
@@ -637,10 +804,24 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         recv_at = nh8 if with_dropout else 0
         recv_row = meta[recv_at:recv_at + 1, :]
         src_row = meta[recv_at + 1:recv_at + 2, :]
-        wt_blk, ss_win, wrow0, wn, woff = block_window(b)
+        dt = _v6_dtype()
+        wt_blk, ss_win, wrow0, wn, woff = block_window(
+            b, need_scores=not v7)
         if "onehot" in ablate:
             onehot_dst = jnp.full((nb, eb), 1e-3, jnp.float32)
-            onehot_w = jnp.full((wn, eb), 1e-3, jnp.float32)
+            onehot_w_dt = jnp.full((wn, eb), 1e-3, dt)
+            onehot_w = None if v7 else jnp.full((wn, eb), 1e-3,
+                                                jnp.float32)
+        elif v7:
+            # dst one-hot stays f32 (payload/dsdst matmuls); the window
+            # one-hot is built ONCE in the contraction dtype — the f32
+            # instance only existed for the score matmuls, which the raw
+            # stream replaces
+            onehot_dst = ((recv_row - (i * nb).astype(jnp.float32))
+                          == rows_nb_f).astype(jnp.float32)  # (NB, EB)
+            onehot_w_dt = ((src_row - wrow0)
+                           == rows_wb_f).astype(dt)          # (WN, EB)
+            onehot_w = None
         else:
             rows = (i * nb
                     + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
@@ -650,30 +831,33 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                     + jax.lax.broadcasted_iota(jnp.int32, (wn, eb), 0
                                                ).astype(jnp.float32))
             onehot_w = (src_row == wrow).astype(jnp.float32)     # (WN, EB)
+            onehot_w_dt = onehot_w.astype(dt)
 
-        if "scores" in ablate:
-            s_src = jnp.zeros((nh8, eb), jnp.float32)
-            s_dst_e = jnp.zeros((nh8, eb), jnp.float32)
+        if v7:
+            pre = rawbuf[slot] - cap
         else:
-            s_src = jax.lax.dot_general(
-                ss_win, onehot_w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s_dst_e = jax.lax.dot_general(
-                s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        pre = (s_src + s_dst_e) - cap
+            if "scores" in ablate:
+                s_src = jnp.zeros((nh8, eb), jnp.float32)
+                s_dst_e = jnp.zeros((nh8, eb), jnp.float32)
+            else:
+                s_src = jax.lax.dot_general(
+                    ss_win, onehot_w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s_dst_e = jax.lax.dot_general(
+                    s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            pre = (s_src + s_dst_e) - cap
         lgt = jnp.where(pre >= 0.0, pre, slope * pre)
         ex = jnp.exp(lgt)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
         in_range = col < e_real
         ex = jnp.where(in_range, ex, 0.0)
 
-        dt = _v6_dtype()
         if "gather" in ablate:
             gathered_t = jnp.zeros((nhfl, eb), jnp.float32)
         else:
             gathered_t = jax.lax.dot_general(
-                wt_blk.astype(dt), onehot_w.astype(dt),
+                wt_blk.astype(dt), onehot_w_dt,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)         # (NHFL, EB)
         h_t = gathered_t[:nhf8]
@@ -721,7 +905,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         # v7 accumulates into the block's wb-row sub-slice of dwin.
         if "scatter" not in ablate:
             dupd = jax.lax.dot_general(
-                onehot_w.astype(dt), d_h_full.astype(dt),
+                onehot_w_dt, d_h_full.astype(dt),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)         # (WN, NHFL)
             if v7:
@@ -801,7 +985,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
                 g, out, denom, num_nodes: int, nh: int, f: int,
                 *, eps: float, slope: float, eb: int, nb: int,
                 window: int, with_dropout: bool, interpret: bool,
-                block_base=None, tile_ptr=None, wb: int = 0):
+                block_base=None, tile_ptr=None, wb: int = 0, raw=None):
     """Returns (d_table (N_rows, NHFL), d_drop (NH8, E_cols),
     d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128))."""
     e = receivers.shape[0]
@@ -856,7 +1040,8 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
                          memory_space=pltpu.VMEM),              # a_pad
             pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),              # cap
-        ],
+        ] + ([pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # raw
+             if wb else []),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # d_table
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # d_drop
@@ -880,7 +1065,8 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
             pltpu.SemaphoreType.DMA((2,)),                      # meta in
             pltpu.SemaphoreType.DMA((3,)),                      # writes
             pltpu.SemaphoreType.DMA((2,)),                      # readbacks
-        ],
+        ] + ([pltpu.VMEM((2, nh8, eb), jnp.float32),            # rawbuf
+              pltpu.SemaphoreType.DMA((2,))] if wb else []),
     )
     kernel = functools.partial(
         _kernel_v6_bwd, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
@@ -910,7 +1096,8 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
             transcendentals=(e + eb) * nh8),
         interpret=interpret,
     )(pref, base, bbase, h8, meta, zeros_h, zeros_m, g_t, out_t, denom_t,
-      s_dst_t, a_pad, cap.reshape(1, 1))
+      s_dst_t, a_pad, cap.reshape(1, 1),
+      *([raw] if wb else []))
 
 
 @functools.partial(jax.custom_vjp,
@@ -946,7 +1133,7 @@ def _fgw_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
         nh, f, eb, nb, window)
     meta = _pack_meta_v6(drop_mask, receivers, senders, nh8, eb)
     with_dropout = drop_mask is not None
-    out, denom, cap, code = _forward_v6(
+    out, denom, cap, code, _raw = _forward_v6(
         h8, meta, a_pad, s_dst, base, receivers, e_real, num_nodes,
         nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
         interpret=interpret, with_dropout=with_dropout)
@@ -1042,20 +1229,20 @@ def _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
     meta = _pack_meta_v6(drop_mask, receivers, senders, nh8, eb)
     with_dropout = drop_mask is not None
     e7 = jnp.int32(senders.shape[0])
-    out, denom, cap, code = _forward_v6(
+    out, denom, cap, code, raw = _forward_v6(
         h8, meta, a_pad, s_dst, base, receivers, e7, num_nodes,
         nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
         interpret=interpret, with_dropout=with_dropout,
         block_base=block_base, tile_ptr=tile_ptr, wb=wb)
     return out, (h8, meta, a_pad, s_dst, base, cap, code, senders,
                  receivers, denom, out, with_dropout, h_flat.shape[0],
-                 block_base, tile_ptr)
+                 block_base, tile_ptr, raw)
 
 
 def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
               interpret, res, g):
     (h8, meta, a_pad, s_dst, base, cap, code, senders, receivers,
-     denom, out, with_dropout, n_orig, block_base, tile_ptr) = res
+     denom, out, with_dropout, n_orig, block_base, tile_ptr, raw) = res
     e = receivers.shape[0]
     nh8 = _round_up(nh, 8)
     d_table, d_drop_t, d_sdst_t, d_apad, d_cap = backward_v6(
@@ -1063,7 +1250,7 @@ def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
         out, denom, num_nodes, nh, f, eps=eps, slope=slope, eb=eb,
         nb=nb, window=window, with_dropout=with_dropout,
         interpret=interpret, block_base=block_base, tile_ptr=tile_ptr,
-        wb=wb)
+        wb=wb, raw=raw)
     d_h_flat = d_table[:n_orig, :nh * f]
     d_a_src = d_apad[:nh * f, :nh]
     d_s_dst = d_sdst_t[:nh].T[:num_nodes]
