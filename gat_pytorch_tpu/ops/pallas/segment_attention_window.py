@@ -95,6 +95,9 @@ def _ablate():
       gather  — zero the feature gather contraction
       scatter — skip the backward d(h) one-hot scatter contraction
       payload — zero the backward per-dst payload gather contraction
+      exp     — replace the exp with identity (v7 bodies only)
+      expander— zero the head-broadcast expander contractions (v7 only)
+      accdot  — skip the fwd acc / bwd dsdst+dasrc accumulation dots (v7)
     """
     import os
     return frozenset(
@@ -425,7 +428,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         cap = jnp.max(capacc[:])
         pre = rawbuf[slot] - cap
         lgt = jnp.where(pre >= 0.0, pre, slope * pre)
-        ex = jnp.exp(lgt)
+        ex = lgt if "exp" in ablate else jnp.exp(lgt)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
         ex = jnp.where(col < e_real, ex, 0.0)               # (NH8, EB)
 
@@ -441,14 +444,18 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         num_t = ex
         if with_dropout:
             num_t = num_t * meta[0:nh8, :]
-        num_wide = jax.lax.dot_general(
-            expander, num_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (NHF8, EB)
+        if "expander" in ablate:
+            num_wide = jnp.zeros((nhf8, eb), jnp.float32)
+        else:
+            num_wide = jax.lax.dot_general(
+                expander, num_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (NHF8, EB)
         weighted_t = h_t * num_wide
         combined = jnp.concatenate([weighted_t, ex], axis=0).astype(dt)
-        acc_ref[:] += jax.lax.dot_general(
-            combined, onehot_dst_dt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)     # (NHF8+NH8, NB)
+        if "accdot" not in ablate:
+            acc_ref[:] += jax.lax.dot_general(
+                combined, onehot_dst_dt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (NHF8+NH8, NB)
         return 0
 
     @pl.when(phase == 0)
@@ -848,7 +855,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                     preferred_element_type=jnp.float32)
             pre = (s_src + s_dst_e) - cap
         lgt = jnp.where(pre >= 0.0, pre, slope * pre)
-        ex = jnp.exp(lgt)
+        ex = lgt if "exp" in ablate else jnp.exp(lgt)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
         in_range = col < e_real
         ex = jnp.where(in_range, ex, 0.0)
@@ -876,14 +883,17 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         m = meta[0:nh8, :] if with_dropout else None
 
         coef = ex * invd_e if m is None else ex * m * invd_e
-        coef_wide = jax.lax.dot_general(
-            expander, coef, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if "expander" in ablate:
+            coef_wide = jnp.zeros((nhf8, eb), jnp.float32)
+            hdotg = jnp.zeros((nh8, eb), jnp.float32)
+        else:
+            coef_wide = jax.lax.dot_general(
+                expander, coef, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            hdotg = jax.lax.dot_general(
+                expander, h_t * g_e, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         d_h_feat = coef_wide * g_e                          # (NHF8, EB)
-
-        hdotg = jax.lax.dot_general(
-            expander, h_t * g_e, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
         d_ex = hdotg * invd_e
         if m is not None:
             d_ex = d_ex * m
@@ -913,13 +923,14 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             else:
                 dwin[:] += dupd
 
-        dsdst_ref[:] += jax.lax.dot_general(
-            d_raw, onehot_dst, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (NH8, NB)
-        dasrc_ref[:] += jax.lax.dot_general(
-            gathered_t.astype(dt), d_raw.astype(dt),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (NHFL, NH8)
+        if "accdot" not in ablate:
+            dsdst_ref[:] += jax.lax.dot_general(
+                d_raw, onehot_dst, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (NH8, NB)
+            dasrc_ref[:] += jax.lax.dot_general(
+                gathered_t.astype(dt), d_raw.astype(dt),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (NHFL, NH8)
         slot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
                   & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
                      == 0))
