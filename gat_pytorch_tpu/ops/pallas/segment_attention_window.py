@@ -98,6 +98,8 @@ def _ablate():
       exp     — replace the exp with identity (v7 bodies only)
       expander— zero the head-broadcast expander contractions (v7 only)
       accdot  — skip the fwd acc / bwd dsdst+dasrc accumulation dots (v7)
+      dmam    — skip the per-block meta/raw/d_drop streams (stale reads)
+      dmaw    — skip the per-tile window stream and d(h) RMW writeback
     """
     import os
     return frozenset(
@@ -171,8 +173,13 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                      else jnp.full_like(capacc, NEG_INF))
         codeacc[:] = jnp.full_like(codeacc, _I32_MAX)
 
+    dm_on = "dmam" not in ablate
+    dw_on = "dmaw" not in ablate
+
     # ---- window stream ---------------------------------------------------
-    if resident:
+    if not dw_on:
+        pass                          # profiling: stale wbuf reads
+    elif resident:
         # window == whole node table: DMA it ONCE (grid is sequential, so
         # the i==0 wait covers every later tile), single slot
         @pl.when(i == 0)
@@ -248,11 +255,12 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     start_ok = (nblocks > 0) if "cap" not in ablate else (
         (nblocks > 0) & (phase == 1))
 
-    @pl.when(start_ok)
-    def _():
-        dma_m(0, 0).start()
+    if dm_on:
+        @pl.when(start_ok)
+        def _():
+            dma_m(0, 0).start()
 
-    if v7:
+    if v7 and dm_on:
         # phase 1 streams the raw logits written by phase 0 (the whole
         # phase-0 sweep precedes phase 1 in the sequential grid, and each
         # tile drains its raw writes before returning)
@@ -328,16 +336,17 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         vmax, vcode = carry
         slot = b % 2
 
-        @pl.when(b + 1 < nblocks)
-        def _():
-            dma_m((b + 1) % 2, b + 1).start()
+        if dm_on:
+            @pl.when(b + 1 < nblocks)
+            def _():
+                dma_m((b + 1) % 2, b + 1).start()
 
-        dma_m(slot, b).wait()
+            dma_m(slot, b).wait()
         start = pl.multiple_of(lo + b * eb, eb)
         (meta, recv_row, onehot_dst, onehot_w, s_src, s_dst_e,
          col, _wsl) = edge_inputs(slot, b)
         raw = s_src + s_dst_e
-        if v7:
+        if v7 and dm_on:
             # v8: persist this block's raw logits for phase 1 / backward
             # (pipelined writes: only wait for the write issued two
             # blocks ago before reusing its buffer slot)
@@ -403,13 +412,14 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         # contraction dtype (no f32 instance, no extra convert pass)
         slot = b % 2
 
-        @pl.when(b + 1 < nblocks)
-        def _():
-            dma_m((b + 1) % 2, b + 1).start()
-            dma_raw_r((b + 1) % 2, b + 1).start()
+        if dm_on:
+            @pl.when(b + 1 < nblocks)
+            def _():
+                dma_m((b + 1) % 2, b + 1).start()
+                dma_raw_r((b + 1) % 2, b + 1).start()
 
-        dma_m(slot, b).wait()
-        dma_raw_r(slot, b).wait()
+            dma_m(slot, b).wait()
+            dma_raw_r(slot, b).wait()
         start = pl.multiple_of(lo + b * eb, eb)
         meta = mbuf[slot]
         recv_at = nh8 if with_dropout else 0
@@ -464,7 +474,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         vmax, vcode = jax.lax.fori_loop(
             0, nb_cap, cap_body,
             (jnp.float32(NEG_INF), _I32_MAX * jnp.int32(1)))
-        if v7 and "cap" not in ablate:
+        if v7 and "cap" not in ablate and dm_on:
             # drain this tile's in-flight raw writes before the next grid
             # step (phase 1 of some tile reads them via the same HBM ref)
             @pl.when(nblocks >= 2)
@@ -690,7 +700,12 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         preferred_element_type=jnp.float32)
     d_den = -outg_h * inv_d
 
-    if resident:
+    dm_on = "dmam" not in ablate
+    dw_on = "dmaw" not in ablate
+
+    if not dw_on:
+        pass                          # profiling: stale wbuf reads
+    elif resident:
         # whole-table window: one DMA in, d(h) accumulated fully in VMEM
         # and written back ONCE at the last tile (no per-tile readback)
         @pl.when(i == 0)
@@ -780,32 +795,35 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                 raw_hbm.at[:, pl.ds(start, eb)], rawbuf.at[slot],
                 rawsems.at[slot])
 
-    @pl.when(nblocks > 0)
-    def _():
-        dma_m(0, 0).start()
-        if v7:
-            dma_raw_r(0, 0).start()
+    if dm_on:
+        @pl.when(nblocks > 0)
+        def _():
+            dma_m(0, 0).start()
+            if v7:
+                dma_raw_r(0, 0).start()
 
     def body(b, _):
         slot = b % 2
         wslot = b % 2
 
-        @pl.when(b + 1 < nblocks)
-        def _():
-            dma_m((b + 1) % 2, b + 1).start()
-            if v7:
-                dma_raw_r((b + 1) % 2, b + 1).start()
+        if dm_on:
+            @pl.when(b + 1 < nblocks)
+            def _():
+                dma_m((b + 1) % 2, b + 1).start()
+                if v7:
+                    dma_raw_r((b + 1) % 2, b + 1).start()
 
-        dma_m(slot, b).wait()
-        if v7:
-            dma_raw_r(slot, b).wait()
-        # pipelined d_drop writes: only wait for the write issued two
-        # blocks ago before reusing its buffer slot (in-tile writes are
-        # disjoint; the cross-tile overlap block is covered by the
-        # post-loop drain)
-        @pl.when(b >= 2)
-        def _():
-            dma_wm(wslot, b - 2).wait()
+            dma_m(slot, b).wait()
+            if v7:
+                dma_raw_r(slot, b).wait()
+
+            # pipelined d_drop writes: only wait for the write issued
+            # two blocks ago before reusing its buffer slot (in-tile
+            # writes are disjoint; the cross-tile overlap block is
+            # covered by the post-loop drain)
+            @pl.when(b >= 2)
+            def _():
+                dma_wm(wslot, b - 2).wait()
         start = pl.multiple_of(lo + b * eb, eb)
         meta = mbuf[slot]
         recv_at = nh8 if with_dropout else 0
@@ -815,17 +833,18 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         wt_blk, ss_win, wrow0, wn, woff = block_window(
             b, need_scores=not v7)
         if "onehot" in ablate:
-            onehot_dst = jnp.full((nb, eb), 1e-3, jnp.float32)
+            onehot_dst = jnp.full((nb, eb), 1e-3,
+                                  dt if v7 else jnp.float32)
             onehot_w_dt = jnp.full((wn, eb), 1e-3, dt)
             onehot_w = None if v7 else jnp.full((wn, eb), 1e-3,
                                                 jnp.float32)
         elif v7:
-            # dst one-hot stays f32 (payload/dsdst matmuls); the window
-            # one-hot is built ONCE in the contraction dtype — the f32
-            # instance only existed for the score matmuls, which the raw
-            # stream replaces
+            # both one-hots are built ONCE, directly in the contraction
+            # dtype — the f32 instances only existed for the score
+            # matmuls, which the raw stream replaces; payload and dsdst
+            # run at dt with f32 accumulation (exact in f32 mode)
             onehot_dst = ((recv_row - (i * nb).astype(jnp.float32))
-                          == rows_nb_f).astype(jnp.float32)  # (NB, EB)
+                          == rows_nb_f).astype(dt)           # (NB, EB)
             onehot_w_dt = ((src_row - wrow0)
                            == rows_wb_f).astype(dt)          # (WN, EB)
             onehot_w = None
@@ -872,6 +891,17 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         payload = jnp.concatenate([g_t[:], inv_d, d_den], axis=0)
         if "payload" in ablate:
             payload_e = jnp.zeros((payload.shape[0], eb), jnp.float32)
+        elif v7:
+            # contraction-dtype payload gather: the one-hot is exact in
+            # bf16 and the gathered g/inv_d/d_den rows feed gradient
+            # chains that already run at dt precision (gathered h, d(h)
+            # scatter, dasrc) — f32 mode (GAT_TPU_V6_DTYPE=float32) is
+            # unchanged. f32 payload matmuls measured ~7 ms of the
+            # banded 5M step (docs/PERF.md round-2-resume ablations).
+            payload_e = jax.lax.dot_general(
+                payload.astype(dt), onehot_dst.astype(dt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         else:
             payload_e = jax.lax.dot_general(
                 payload, onehot_dst, (((1,), (0,)), ((), ())),
@@ -925,7 +955,8 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
 
         if "accdot" not in ablate:
             dsdst_ref[:] += jax.lax.dot_general(
-                d_raw, onehot_dst, (((1,), (1,)), ((), ())),
+                d_raw.astype(dt) if v7 else d_raw, onehot_dst,
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)         # (NH8, NB)
             dasrc_ref[:] += jax.lax.dot_general(
                 gathered_t.astype(dt), d_raw.astype(dt),
@@ -938,6 +969,8 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
 
         dmblk = hdotg * ex * invd_e                         # d_drop
 
+        if not dm_on:
+            return 0                  # profiling: no d_drop writes
         if v7:
             # eb-aligned tile offsets: no shared overlap block, no RMW
             dmbuf[wslot] = dmblk
@@ -959,17 +992,20 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
 
     jax.lax.fori_loop(0, nblocks, body, 0)
 
-    # drain in-flight d_drop writes before the tile's trailing window
-    # RMW / the next tile's b==0 read of the shared overlap block
-    @pl.when(nblocks >= 2)
-    def _():
-        dma_wm((nblocks - 2) % 2, nblocks - 2).wait()
+    if dm_on:
+        # drain in-flight d_drop writes before the tile's trailing window
+        # RMW / the next tile's b==0 read of the shared overlap block
+        @pl.when(nblocks >= 2)
+        def _():
+            dma_wm((nblocks - 2) % 2, nblocks - 2).wait()
 
-    @pl.when(nblocks >= 1)
-    def _():
-        dma_wm((nblocks - 1) % 2, nblocks - 1).wait()
+        @pl.when(nblocks >= 1)
+        def _():
+            dma_wm((nblocks - 1) % 2, nblocks - 1).wait()
 
-    if resident:
+    if not dw_on:
+        pass                          # profiling: no d(h) writeback
+    elif resident:
         # d(h) lives fully in VMEM across tiles: write once at the end
         @pl.when(i == t - 1)
         def _():
