@@ -30,7 +30,7 @@ import numpy as np
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["send", "recv", "base", "tile_ptr", "tile_base"],
-         meta_fields=["wb", "window", "nb", "eb"])
+         meta_fields=["wb", "window", "nb", "eb", "dmax"])
 @dataclasses.dataclass(frozen=True)
 class BlockLayout:
     """Block-local window layout for the v7 windowed-gather kernel
@@ -54,6 +54,9 @@ class BlockLayout:
     window: int           # static: tile window rows (multiple of 128)
     nb: int               # static: destination rows per tile
     eb: int               # static: edge slots per block
+    dmax: int = -1        # static: 8-aligned bound on consecutive
+    #                       tile-base deltas when monotone (sliding d(h)
+    #                       accumulator certificate); -1 = non-monotone
 
     @property
     def num_slots(self) -> int:

@@ -333,13 +333,32 @@ def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
         window = int(round_up(
             max(int(np.where(has_t, tmax - tile_base + 1, 1).max()), wb),
             128))
+        # forward-fill empty tiles' bases so they never break the
+        # monotone-base property the sliding d(h) accumulator needs
+        # (an empty tile has no blocks — its window content is unused)
+        last = np.maximum.accumulate(
+            np.where(has_t, np.arange(t), -1))
+        tile_base = np.where(last >= 0,
+                             tile_base[np.maximum(last, 0)], 0)
+    # dmax: static bound (8-aligned, +8 slack for the kernel's
+    # floor-to-8 of clipped bases) on consecutive tile-base deltas when
+    # they are monotone non-decreasing — the certificate for the
+    # backward's sliding-window d(h) accumulator (pure pipelined writes
+    # instead of a serial per-tile HBM read-modify-write). -1 = the
+    # bases are non-monotone and the kernel must keep the RMW path.
+    dmax = -1
+    if t >= 1:
+        deltas = np.diff(tile_base) if t > 1 else np.zeros(1, np.int64)
+        if (deltas >= 0).all():
+            dmax = int(round_up(max(int(deltas.max()), 0) + 8, 8))
     return BlockLayout(
         send=jnp.asarray(send7.astype(np.int32)),
         recv=jnp.asarray(recv7.astype(np.int32)),
         base=jnp.asarray(base.astype(np.int32)),
         tile_ptr=jnp.asarray(tile_ptr.astype(np.int32)),
         tile_base=jnp.asarray(tile_base.astype(np.int32)),
-        wb=int(wb), window=int(window), nb=int(nb), eb=int(eb))
+        wb=int(wb), window=int(window), nb=int(nb), eb=int(eb),
+        dmax=int(dmax))
 
 
 def csr_offsets(receivers: np.ndarray, num_nodes: int) -> np.ndarray:

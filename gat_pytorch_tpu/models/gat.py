@@ -389,7 +389,7 @@ def gat_layer_apply(params: Params,
                     h_flat, a_src, s_dst_n, make_drop(bl.send.shape[0]),
                     bl.send, bl.recv, bl.base, bl.tile_ptr, bl.tile_base,
                     num_nodes, nh, f, bl.window, bl.wb, 1e-8, cfg.slope,
-                    bl.eb, bl.nb, interpret)
+                    bl.eb, bl.nb, interpret, getattr(bl, "dmax", -1))
             else:
                 e_real = jnp.sum(edge_mask).astype(jnp.int32)
                 if w == n_rows8 or tile_lo is None:

@@ -659,17 +659,21 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                    eb: int, nb: int, nh: int, f: int, nh8: int,
                    nhf8: int, nhfl: int, w: int, eps: float,
                    slope: float, with_dropout: bool, resident: bool,
-                   wb: int = 0, ablate: frozenset = frozenset()):
+                   wb: int = 0, dmax: int = -1,
+                   ablate: frozenset = frozenset()):
     v7 = wb > 0                       # block-local windows (see _kernel_v6)
+    sliding = dmax >= 0               # sliding d(h) accumulator (v7 only)
     # v7 runs the v8 raw-score pipeline: raw logits saved by the forward
     # stream in per block — no score matmuls, no f32 onehot_w (see
     # _kernel_v6). rest = [raw_hbm?] + outputs + scratch + [rawbuf/sems?]
+    # + [stage?]
     if v7:
         (raw_hbm, dtab_hbm, dmeta_hbm, dsdst_ref, dasrc_ref, dcap_ref,
          wbuf, mbuf, dwin, dmbuf, rwin, rmbuf, sems, msems, wsems,
-         rsems, rawbuf, rawsems) = rest
+         rsems, rawbuf, rawsems, *opt) = rest
+        stage = opt[0] if opt else None
     else:
-        raw_hbm = rawbuf = rawsems = None
+        raw_hbm = rawbuf = rawsems = stage = None
         (dtab_hbm, dmeta_hbm, dsdst_ref, dasrc_ref, dcap_ref,
          wbuf, mbuf, dwin, dmbuf, rwin, rmbuf, sems, msems, wsems,
          rsems) = rest
@@ -770,7 +774,9 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                 preferred_element_type=jnp.float32)          # (NH8, WB)
         return blk_t, s_src_blk, (base + off).astype(jnp.float32), wb, off
 
-    if resident:
+    if resident or sliding:
+        # persistent accumulator: zeroed once, carried across tiles
+        # (sliding keeps the [w, w+dmax) slack rows zero as an invariant)
         @pl.when(i == 0)
         def _():
             dwin[:] = jnp.zeros_like(dwin)
@@ -1013,6 +1019,43 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                                        wsems.at[2])
             wr.start()
             wr.wait()
+    elif sliding:
+        # sliding-window accumulator (layout certified monotone tile
+        # bases, delta <= dmax <= w): rows the next tile's window no
+        # longer covers are staged and flushed as a PURE pipelined
+        # write. Replaces the serial per-tile read+add+write RMW — no
+        # HBM read, and the only wait is for the PREVIOUS tile's flush
+        # (needed anyway: consecutive flush slabs overlap, and ordering
+        # requires at most one in flight). A row's final flush always
+        # carries its complete sum: the last tile whose window covers
+        # row r flushes it (r < next_base), and later tiles' slabs start
+        # past r.
+        def dma_flush(gi):
+            b = pl.multiple_of((base_ref[gi] // 8) * 8, 8)
+            return pltpu.make_async_copy(
+                stage, dtab_hbm.at[pl.ds(b, dmax), :], wsems.at[2])
+
+        @pl.when(i > 0)
+        def _():
+            dma_flush(i - 1).wait()
+
+        @pl.when(i < t - 1)
+        def _():
+            stage[:] = dwin[pl.ds(0, dmax), :]
+            dma_flush(i).start()
+            nxt = pl.multiple_of((base_ref[i + 1] // 8) * 8, 8)
+            dlt = pl.multiple_of(nxt - base, 8)
+            # shift the accumulator so row 0 tracks the next tile's
+            # base; the tail reads from the always-zero slack rows
+            dwin[pl.ds(0, w), :] = dwin[pl.ds(dlt, w), :]
+
+        @pl.when(i == t - 1)
+        def _():
+            wr = pltpu.make_async_copy(
+                dwin.at[pl.ds(0, w)], dtab_hbm.at[pl.ds(base, w), :],
+                wsems.at[2])
+            wr.start()
+            wr.wait()
     else:
         # read-add-write this tile's d(h) window. Windows of consecutive
         # tiles overlap, but the TPU grid is sequential and both DMAs
@@ -1032,7 +1075,8 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
                 g, out, denom, num_nodes: int, nh: int, f: int,
                 *, eps: float, slope: float, eb: int, nb: int,
                 window: int, with_dropout: bool, interpret: bool,
-                block_base=None, tile_ptr=None, wb: int = 0, raw=None):
+                block_base=None, tile_ptr=None, wb: int = 0, raw=None,
+                dmax: int = -1):
     """Returns (d_table (N_rows, NHFL), d_drop (NH8, E_cols),
     d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128))."""
     e = receivers.shape[0]
@@ -1044,6 +1088,10 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
     n_rows = h8.shape[0]
     e_cols = meta.shape[1]
     resident = window == n_rows
+    # sliding d(h) accumulator: valid when the layout certified monotone
+    # tile bases (dmax >= 0) and the flush slab stays inside the table
+    # (dmax <= window implies no inter-window gaps and in-bounds slabs)
+    sliding = (wb > 0 and not resident and 0 <= dmax <= window)
 
     def node_t(a, rows):
         a_t = a.T
@@ -1103,23 +1151,27 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
             pltpu.VMEM((1 if resident else 2, window, nhfl),
                        h8.dtype),                               # wbuf
             pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),    # mbuf
-            pltpu.VMEM((window, nhfl), jnp.float32),            # dwin
+            pltpu.VMEM((window + (dmax if sliding else 0), nhfl),
+                       jnp.float32),                            # dwin
             pltpu.VMEM((2, nh8, eb), jnp.float32),              # dmbuf
-            pltpu.VMEM((8, 128) if resident else (window, nhfl),
-                       jnp.float32),                # rwin (unused resident)
+            pltpu.VMEM((8, 128) if resident or sliding
+                       else (window, nhfl),
+                       jnp.float32),                # rwin (RMW path only)
             pltpu.VMEM((nh8, eb), jnp.float32),                 # rmbuf
             pltpu.SemaphoreType.DMA((2,)),                      # window in
             pltpu.SemaphoreType.DMA((2,)),                      # meta in
             pltpu.SemaphoreType.DMA((3,)),                      # writes
             pltpu.SemaphoreType.DMA((2,)),                      # readbacks
         ] + ([pltpu.VMEM((2, nh8, eb), jnp.float32),            # rawbuf
-              pltpu.SemaphoreType.DMA((2,))] if wb else []),
+              pltpu.SemaphoreType.DMA((2,))] if wb else [])
+          + ([pltpu.VMEM((dmax, nhfl), jnp.float32)]            # stage
+             if sliding else []),
     )
     kernel = functools.partial(
         _kernel_v6_bwd, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
         with_dropout=with_dropout, resident=resident, wb=wb,
-        ablate=_ablate())
+        dmax=dmax if sliding else -1, ablate=_ablate())
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1238,7 +1290,8 @@ def _v7_prep(h_flat, a_src, tile_base, nh, f, window):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17,
+                                    18, 19))
 def fused_gat_window_v7(h_flat, a_src, s_dst, drop_mask,
                         senders, receivers, block_base, tile_ptr,
                         tile_base,
@@ -1246,7 +1299,7 @@ def fused_gat_window_v7(h_flat, a_src, s_dst, drop_mask,
                         window: int, wb: int,
                         eps: float = 1e-8, slope: float = 0.01,
                         eb: int = 512, nb: int = 256,
-                        interpret: bool = False):
+                        interpret: bool = False, dmax: int = -1):
     """Block-local-window variant of fused_gat_window (same semantics,
     same in-kernel global max-cap). Consumes the v7 layout emitted by
     graph/transforms.compute_block_layout (Graph.block_layout): edges
@@ -1263,13 +1316,13 @@ def fused_gat_window_v7(h_flat, a_src, s_dst, drop_mask,
     out, _ = _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders,
                        receivers, block_base, tile_ptr, tile_base,
                        num_nodes, nh, f, window, wb, eps, slope, eb, nb,
-                       interpret)
+                       interpret, dmax)
     return out
 
 
 def _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
               block_base, tile_ptr, tile_base, num_nodes, nh, f, window,
-              wb, eps, slope, eb, nb, interpret):
+              wb, eps, slope, eb, nb, interpret, dmax=-1):
     nh8 = _round_up(nh, 8)
     h8, a_pad, base, nh8, nhfl, n_rows = _v7_prep(
         h_flat, a_src, tile_base, nh, f, window)
@@ -1287,7 +1340,7 @@ def _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
 
 
 def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
-              interpret, res, g):
+              interpret, dmax, res, g):
     (h8, meta, a_pad, s_dst, base, cap, code, senders, receivers,
      denom, out, with_dropout, n_orig, block_base, tile_ptr, raw) = res
     e = receivers.shape[0]
@@ -1297,7 +1350,7 @@ def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
         out, denom, num_nodes, nh, f, eps=eps, slope=slope, eb=eb,
         nb=nb, window=window, with_dropout=with_dropout,
         interpret=interpret, block_base=block_base, tile_ptr=tile_ptr,
-        wb=wb, raw=raw)
+        wb=wb, raw=raw, dmax=dmax)
     d_h_flat = d_table[:n_orig, :nh * f]
     d_a_src = d_apad[:nh * f, :nh]
     d_s_dst = d_sdst_t[:nh].T[:num_nodes]

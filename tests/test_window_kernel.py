@@ -239,7 +239,7 @@ def test_v7_matches_oracle(with_dropout, nh, f):
         o = fused_gat_window_v7(*a, bl.send, bl.recv, bl.base,
                                 bl.tile_ptr, bl.tile_base, n, nh, f,
                                 bl.window, bl.wb, 1e-8, 0.01, bl.eb,
-                                bl.nb, True)
+                                bl.nb, True, bl.dmax)
         return jnp.sum(jnp.sin(o)), o
 
     def lref(h_, a_, s_, d_):
@@ -305,3 +305,39 @@ def test_v7_model_gate_engages_and_matches_xla():
                               backend="xla")
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_v7_sliding_writeback_matches_rmw():
+    """The sliding d(h) accumulator (layout-certified monotone bases,
+    BlockLayout.dmax >= 0) must produce exactly the same outputs and
+    gradients as the legacy per-tile RMW writeback (dmax = -1 disables
+    the certificate)."""
+    os.environ["GAT_TPU_V6_DTYPE"] = "float32"
+    from gat_pytorch_tpu.ops.pallas.segment_attention_window import (
+        fused_gat_window_v7)
+    nh, f = 2, 8
+    g, rng = _v7_graph(4)
+    bl = g.block_layout
+    assert bl.dmax >= 0, "banded layout should certify monotone bases"
+    n = g.num_nodes
+    h = jnp.asarray((rng.normal(size=(n, nh * f)) * 0.1).astype(np.float32))
+    a_src = jnp.asarray((rng.normal(size=(nh * f, nh))
+                         / np.sqrt(nh * f)).astype(np.float32))
+    s_dst = jnp.asarray((rng.normal(size=(n, nh)) * 0.1).astype(np.float32))
+
+    def loss(dmax):
+        def fn(h_, a_, s_):
+            o = fused_gat_window_v7(h_, a_, s_, None, bl.send, bl.recv,
+                                    bl.base, bl.tile_ptr, bl.tile_base,
+                                    n, nh, f, bl.window, bl.wb, 1e-8,
+                                    0.01, bl.eb, bl.nb, True, dmax)
+            return jnp.sum(jnp.sin(o)), o
+        return jax.value_and_grad(fn, argnums=(0, 1, 2), has_aux=True)(
+            h, a_src, s_dst)
+
+    (_, o_s), g_s = loss(bl.dmax)
+    (_, o_r), g_r = loss(-1)
+    np.testing.assert_array_equal(np.asarray(o_s), np.asarray(o_r))
+    for a, b, nm in zip(g_s, g_r, ("h", "a_src", "s_dst")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)
