@@ -84,6 +84,16 @@ def _v6_dtype():
 _I32_MAX = np.int32(2 ** 31 - 1)
 
 
+def _dmak():
+    """Blocks per grouped combined-stream DMA in the v7 path
+    (GAT_TPU_V7_DMAK, default 4): per-block semaphore starts/waits
+    measured ~13 ms of the banded 5M-edge step (docs/PERF.md
+    round-2-resume DMA ablations), so meta+raw move in dmak-block
+    groups through one fused stream."""
+    import os
+    return max(1, int(os.environ.get("GAT_TPU_V7_DMAK", "4")))
+
+
 def _ablate():
     """Profiling-only kernel ablations (GAT_TPU_V7_ABLATE, comma list).
     Each token removes one class of in-kernel work so an on-chip A/B
@@ -127,7 +137,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                eb: int, nb: int, nh: int, f: int, nh8: int,
                nhf8: int, nhfl: int, w: int, eps: float, slope: float,
                with_dropout: bool, resident: bool, wb: int = 0,
-               ablate: frozenset = frozenset()):
+               dmak: int = 4, ablate: frozenset = frozenset()):
     # wb > 0 selects the v7 BLOCK-LOCAL window mode (Graph.block_layout):
     # tile offsets are eb-aligned (no shared overlap blocks) and every
     # edge block's one-hot/gather/scatter contractions run against a
@@ -147,11 +157,17 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     # ~0.6 ms/layer of extra HBM traffic for the raw tiles.
     v7 = wb > 0
     if v7:
-        (raw_hbm, wbuf, mbuf, sems, msems, capacc, codeacc,
-         rawbuf, rawsems) = rest
+        # comb_hbm: (MR+NH8, C) combined meta+raw stream (phase 0 writes
+        # it, phase 1 and the backward read it — ONE grouped DMA per
+        # dmak blocks instead of separate per-block meta and raw
+        # streams); cbuf is its (2, MR+NH8, dmak*eb) staging buffer,
+        # mbuf the grouped (2, MR, dmak*eb) phase-0 meta reader.
+        (comb_hbm, wbuf, mbuf, sems, msems, capacc, codeacc,
+         cbuf, rawsems) = rest
     else:
-        raw_hbm = rawbuf = rawsems = None
+        comb_hbm = cbuf = rawsems = None
         wbuf, mbuf, sems, msems, capacc, codeacc = rest
+    mr = (nh8 if with_dropout else 0) + 8   # meta rows (_pack_meta_v6)
     i = pl.program_id(0)
     t = pl.num_programs(0) // 2
     ti = jax.lax.rem(i, t)
@@ -232,22 +248,37 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
             jnp.int32, (wb, eb), 0).astype(jnp.float32)
 
     def dma_m(slot, b):
+        # legacy per-block meta stream; v7 fetches K-block GROUPS (one
+        # DMA per dmak blocks — per-block semaphore ops measured ~13 ms
+        # of the banded 5M step, docs/PERF.md round-2-resume)
         start = pl.multiple_of(lo + b * eb, eb)
         return pltpu.make_async_copy(meta_hbm.at[:, pl.ds(start, eb)],
                                      mbuf.at[slot], msems.at[slot])
 
     if v7:
-        def dma_raw_w(slot, b):
-            start = pl.multiple_of(lo + b * eb, eb)
-            return pltpu.make_async_copy(
-                rawbuf.at[slot], raw_hbm.at[:, pl.ds(start, eb)],
-                rawsems.at[slot])
+        geb = dmak * eb               # group width (columns)
+        ng = pl.cdiv(nblocks, dmak)   # groups in this tile
 
-        def dma_raw_r(slot, b):
-            start = pl.multiple_of(lo + b * eb, eb)
+        def dma_mg(gb):
+            # meta group read (phase 0): columns [lo+gb*geb, +geb)
+            start = pl.multiple_of(lo + gb * geb, eb)
             return pltpu.make_async_copy(
-                raw_hbm.at[:, pl.ds(start, eb)], rawbuf.at[slot],
-                rawsems.at[slot])
+                meta_hbm.at[:, pl.ds(start, geb)], mbuf.at[gb % 2],
+                msems.at[gb % 2])
+
+        def dma_cw(gb):
+            # combined meta+raw group write (phase 0 producer)
+            start = pl.multiple_of(lo + gb * geb, eb)
+            return pltpu.make_async_copy(
+                cbuf.at[gb % 2], comb_hbm.at[:, pl.ds(start, geb)],
+                rawsems.at[gb % 2])
+
+        def dma_cr(gb):
+            # combined group read (phase 1 consumer)
+            start = pl.multiple_of(lo + gb * geb, eb)
+            return pltpu.make_async_copy(
+                comb_hbm.at[:, pl.ds(start, geb)], cbuf.at[gb % 2],
+                rawsems.at[gb % 2])
 
     # under the "cap" ablation phase 0 does nothing, so its initial meta
     # DMA must not start either (an unwaited completion would leave the
@@ -255,18 +286,24 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     start_ok = (nblocks > 0) if "cap" not in ablate else (
         (nblocks > 0) & (phase == 1))
 
-    if dm_on:
+    if not v7:
         @pl.when(start_ok)
         def _():
             dma_m(0, 0).start()
 
     if v7 and dm_on:
-        # phase 1 streams the raw logits written by phase 0 (the whole
-        # phase-0 sweep precedes phase 1 in the sequential grid, and each
-        # tile drains its raw writes before returning)
+        if "cap" not in ablate:
+            @pl.when((nblocks > 0) & (phase == 0))
+            def _():
+                dma_mg(0).start()
+
+        # phase 1 streams the combined meta+raw groups written by
+        # phase 0 (the whole phase-0 sweep precedes phase 1 in the
+        # sequential grid, and each tile drains its writes before
+        # returning)
         @pl.when((nblocks > 0) & (phase == 1))
         def _():
-            dma_raw_r(0, 0).start()
+            dma_cr(0).start()
 
     def block_window(b, need_scores=True):
         """(win_t slice (NHFL, WN), s_src over it (NH8, WN), first row,
@@ -294,9 +331,8 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
             s_src_blk = jnp.zeros((nh8, wb), jnp.float32)
         return blk_t, s_src_blk, (base_i + off).astype(jnp.float32), wb
 
-    def edge_inputs(slot, b):
+    def edge_inputs(meta, b):
         start = pl.multiple_of(lo + b * eb, eb)
-        meta = mbuf[slot]
         recv_at = nh8 if with_dropout else 0
         recv_row = meta[recv_at:recv_at + 1, :]             # (1, EB)
         src_row = meta[recv_at + 1:recv_at + 2, :]          # (1, EB)
@@ -334,27 +370,48 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
 
     def cap_body(b, carry):
         vmax, vcode = carry
-        slot = b % 2
+        if v7:
+            gb = b // dmak
+            j = b - gb * dmak
+            slotg = jax.lax.rem(gb, 2)
+            joff = pl.multiple_of(j * eb, eb)
+            if dm_on:
+                @pl.when(j == 0)
+                def _():
+                    @pl.when(gb + 1 < ng)
+                    def _():
+                        dma_mg(gb + 1).start()
 
-        if dm_on:
+                    # before staging into cbuf slot gb%2, its previous
+                    # combined write (group gb-2) must have landed
+                    @pl.when(gb >= 2)
+                    def _():
+                        dma_cw(gb - 2).wait()
+
+                    dma_mg(gb).wait()
+            meta_v = mbuf[slotg, :, pl.ds(joff, eb)]
+        else:
+            slot = b % 2
+
             @pl.when(b + 1 < nblocks)
             def _():
                 dma_m((b + 1) % 2, b + 1).start()
 
             dma_m(slot, b).wait()
+            meta_v = mbuf[slot]
         start = pl.multiple_of(lo + b * eb, eb)
         (meta, recv_row, onehot_dst, onehot_w, s_src, s_dst_e,
-         col, _wsl) = edge_inputs(slot, b)
+         col, _wsl) = edge_inputs(meta_v, b)
         raw = s_src + s_dst_e
         if v7 and dm_on:
-            # v8: persist this block's raw logits for phase 1 / backward
-            # (pipelined writes: only wait for the write issued two
-            # blocks ago before reusing its buffer slot)
-            @pl.when(b >= 2)
+            # v8: persist this block's meta+raw as ONE combined stream
+            # for phase 1 / backward, flushed once per group
+            cbuf[slotg, 0:mr, pl.ds(joff, eb)] = meta
+            cbuf[slotg, mr:mr + nh8, pl.ds(joff, eb)] = raw
+
+            @pl.when((j == dmak - 1) | (b == nblocks - 1))
             def _():
-                dma_raw_w(slot, b - 2).wait()
-            rawbuf[slot] = raw
-            dma_raw_w(slot, b).start()
+                dma_cw(gb).start()
         head = jax.lax.broadcasted_iota(jnp.int32, (nh8, eb), 0)
         in_tile = ((recv_row >= ti * nb) & (recv_row < ti * nb + nb))
         valid = (head < nh) & (col < e_real) & in_tile
@@ -376,7 +433,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         dma_m(slot, b).wait()
         start = pl.multiple_of(lo + b * eb, eb)
         (meta, recv_row, onehot_dst, onehot_w, s_src, s_dst_e,
-         col, wt_blk) = edge_inputs(slot, b)
+         col, wt_blk) = edge_inputs(mbuf[slot], b)
         cap = jnp.max(capacc[:])
         pre = (s_src + s_dst_e) - cap
         lgt = jnp.where(pre >= 0.0, pre, slope * pre)
@@ -407,21 +464,25 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         return 0
 
     def main_body_v7(b, _):
-        # v8 main phase: raw logits stream in from phase 0 — no score
-        # matmuls, and the one-hots are built once, directly in the
-        # contraction dtype (no f32 instance, no extra convert pass)
-        slot = b % 2
-
+        # v8 main phase: the combined meta+raw stream written by phase 0
+        # arrives in dmak-block groups — no score matmuls, one-hots
+        # built once directly in the contraction dtype, and one grouped
+        # DMA wait per dmak blocks
+        gb = b // dmak
+        j = b - gb * dmak
+        slotg = jax.lax.rem(gb, 2)
+        joff = pl.multiple_of(j * eb, eb)
         if dm_on:
-            @pl.when(b + 1 < nblocks)
+            @pl.when(j == 0)
             def _():
-                dma_m((b + 1) % 2, b + 1).start()
-                dma_raw_r((b + 1) % 2, b + 1).start()
+                @pl.when(gb + 1 < ng)
+                def _():
+                    dma_cr(gb + 1).start()
 
-            dma_m(slot, b).wait()
-            dma_raw_r(slot, b).wait()
+                dma_cr(gb).wait()
         start = pl.multiple_of(lo + b * eb, eb)
-        meta = mbuf[slot]
+        meta = cbuf[slotg, 0:mr, pl.ds(joff, eb)]
+        raw = cbuf[slotg, mr:mr + nh8, pl.ds(joff, eb)]
         recv_at = nh8 if with_dropout else 0
         recv_row = meta[recv_at:recv_at + 1, :]             # (1, EB)
         src_row = meta[recv_at + 1:recv_at + 2, :]          # (1, EB)
@@ -436,7 +497,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
             onehot_w_dt = ((src_row - wrow0)
                            == rows_wb_f).astype(dt)          # (WN, EB)
         cap = jnp.max(capacc[:])
-        pre = rawbuf[slot] - cap
+        pre = raw - cap
         lgt = jnp.where(pre >= 0.0, pre, slope * pre)
         ex = lgt if "exp" in ablate else jnp.exp(lgt)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
@@ -475,15 +536,17 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
             0, nb_cap, cap_body,
             (jnp.float32(NEG_INF), _I32_MAX * jnp.int32(1)))
         if v7 and "cap" not in ablate and dm_on:
-            # drain this tile's in-flight raw writes before the next grid
-            # step (phase 1 of some tile reads them via the same HBM ref)
-            @pl.when(nblocks >= 2)
+            # drain this tile's in-flight combined-stream group writes
+            # before the next grid step (phase 1 reads the same HBM ref,
+            # and the next tile's partial-group overhang overwrite must
+            # come after ours)
+            @pl.when(ng >= 2)
             def _():
-                dma_raw_w((nblocks - 2) % 2, nblocks - 2).wait()
+                dma_cw(ng - 2).wait()
 
-            @pl.when(nblocks >= 1)
+            @pl.when(ng >= 1)
             def _():
-                dma_raw_w((nblocks - 1) % 2, nblocks - 1).wait()
+                dma_cw(ng - 1).wait()
         # fold this tile's (max, code) into the persistent accumulators
         old = capacc[0, 0]
         oldc = codeacc[0, 0]
@@ -512,10 +575,11 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     code_ref[:] = codeacc[:]
 
 
-def _pack_meta_v6(drop_mask, receivers, senders, nh8, eb):
-    """(MR, E+eb) edge-major: optional dropout rows (NH8), then one 8-row
-    group with receiver ids at subrow 0 and sender ids at subrow 1 (f32,
-    exact below 2^24)."""
+def _pack_meta_v6(drop_mask, receivers, senders, nh8, pad_cols):
+    """(MR, E+pad_cols) edge-major: optional dropout rows (NH8), then one
+    8-row group with receiver ids at subrow 0 and sender ids at subrow 1
+    (f32, exact below 2^24). pad_cols covers the stream's block (legacy)
+    or group (v7: dmak*eb) overhang."""
     parts = []
     if drop_mask is not None:
         dm = drop_mask.T
@@ -526,7 +590,7 @@ def _pack_meta_v6(drop_mask, receivers, senders, nh8, eb):
     parts.append(senders.astype(jnp.float32)[None, :])
     meta = jnp.concatenate(parts, axis=0)
     mr = (nh8 if drop_mask is not None else 0) + 8
-    return jnp.pad(meta, ((0, mr - meta.shape[0]), (0, eb)))
+    return jnp.pad(meta, ((0, mr - meta.shape[0]), (0, pad_cols)))
 
 
 def _v6_prep(h_flat, a_src, senders, receivers, tile_lo, num_nodes,
@@ -561,6 +625,7 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
                 num_nodes, nh, f, *, eps, slope, eb, nb, window,
                 interpret, with_dropout, block_base=None, tile_ptr=None,
                 wb=0):
+    dmak = _dmak()
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
     nh8 = _round_up(nh, 8)
@@ -598,24 +663,26 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
                          memory_space=pltpu.VMEM),              # cap
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),              # code
-        ] + ([pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # raw
+        ] + ([pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # comb
              if wb else []),
         scratch_shapes=[
             pltpu.VMEM((1 if resident else 2, window, nhfl),
                        h8.dtype),                               # wbuf
-            pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),    # mbuf
+            pltpu.VMEM((2, meta.shape[0], dmak * eb if wb else eb),
+                       jnp.float32),                            # mbuf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((8, 128), jnp.float32),                  # capacc
             pltpu.VMEM((8, 128), jnp.int32),                    # codeacc
-        ] + ([pltpu.VMEM((2, nh8, eb), jnp.float32),            # rawbuf
+        ] + ([pltpu.VMEM((2, meta.shape[0] + nh8, dmak * eb),
+                         jnp.float32),                          # cbuf
               pltpu.SemaphoreType.DMA((2,))] if wb else []),
     )
     kernel = functools.partial(
         _kernel_v6, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
         with_dropout=with_dropout, resident=resident, wb=wb,
-        ablate=_ablate())
+        dmak=dmak, ablate=_ablate())
     e = receivers.shape[0]
     outs = pl.pallas_call(
         kernel,
@@ -624,7 +691,8 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
             jax.ShapeDtypeStruct((nhf8 + nh8, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.int32),
-        ] + ([jax.ShapeDtypeStruct((nh8, meta.shape[1]), jnp.float32)]
+        ] + ([jax.ShapeDtypeStruct((meta.shape[0] + nh8, meta.shape[1]),
+                                   jnp.float32)]                # comb
              if wb else []),
         cost_estimate=pl.CostEstimate(
             flops=2 * (e + eb) * (2 * (wb or window) * nh8
@@ -638,10 +706,10 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
         interpret=interpret,
     )(pref, base, bbase, h8, meta, a_pad, s_dst_t)
     acc_t, cap_o, code_o = outs[:3]
-    raw = outs[3] if wb else None
+    comb = outs[3] if wb else None
     return (acc_t[:nh * f].T[:num_nodes],
             acc_t[nhf8:nhf8 + nh].T[:num_nodes],
-            cap_o[0, 0], code_o[0, 0], raw)
+            cap_o[0, 0], code_o[0, 0], comb)
 
 
 def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
@@ -659,24 +727,26 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                    eb: int, nb: int, nh: int, f: int, nh8: int,
                    nhf8: int, nhfl: int, w: int, eps: float,
                    slope: float, with_dropout: bool, resident: bool,
-                   wb: int = 0, dmax: int = -1,
+                   wb: int = 0, dmax: int = -1, dmak: int = 4,
                    ablate: frozenset = frozenset()):
     v7 = wb > 0                       # block-local windows (see _kernel_v6)
     sliding = dmax >= 0               # sliding d(h) accumulator (v7 only)
-    # v7 runs the v8 raw-score pipeline: raw logits saved by the forward
-    # stream in per block — no score matmuls, no f32 onehot_w (see
-    # _kernel_v6). rest = [raw_hbm?] + outputs + scratch + [rawbuf/sems?]
+    # v7 runs the v8 raw-score pipeline: the forward saved a COMBINED
+    # meta+raw stream which arrives here in dmak-block groups — no score
+    # matmuls, no separate meta stream, no f32 onehot_w (see
+    # _kernel_v6). rest = [comb_hbm?] + outputs + scratch + [cbuf/sems?]
     # + [stage?]
     if v7:
-        (raw_hbm, dtab_hbm, dmeta_hbm, dsdst_ref, dasrc_ref, dcap_ref,
+        (comb_hbm, dtab_hbm, dmeta_hbm, dsdst_ref, dasrc_ref, dcap_ref,
          wbuf, mbuf, dwin, dmbuf, rwin, rmbuf, sems, msems, wsems,
-         rsems, rawbuf, rawsems, *opt) = rest
+         rsems, cbuf, rawsems, *opt) = rest
         stage = opt[0] if opt else None
     else:
-        raw_hbm = rawbuf = rawsems = stage = None
+        comb_hbm = cbuf = rawsems = stage = None
         (dtab_hbm, dmeta_hbm, dsdst_ref, dasrc_ref, dcap_ref,
          wbuf, mbuf, dwin, dmbuf, rwin, rmbuf, sems, msems, wsems,
          rsems) = rest
+    mr = (nh8 if with_dropout else 0) + 8   # meta rows (_pack_meta_v6)
     i = pl.program_id(0)
     t = pl.num_programs(0)
     if v7:
@@ -795,34 +865,54 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                                      wsems.at[slot])
 
     if v7:
-        def dma_raw_r(slot, b):
-            start = pl.multiple_of(lo + b * eb, eb)
-            return pltpu.make_async_copy(
-                raw_hbm.at[:, pl.ds(start, eb)], rawbuf.at[slot],
-                rawsems.at[slot])
+        geb = dmak * eb
+        ng = pl.cdiv(nblocks, dmak)
 
-    if dm_on:
+        def dma_cr(gb):
+            # combined meta+raw group read (see _kernel_v6)
+            start = pl.multiple_of(lo + gb * geb, eb)
+            return pltpu.make_async_copy(
+                comb_hbm.at[:, pl.ds(start, geb)], cbuf.at[gb % 2],
+                rawsems.at[gb % 2])
+
+    if v7:
+        if dm_on:
+            @pl.when(nblocks > 0)
+            def _():
+                dma_cr(0).start()
+    else:
         @pl.when(nblocks > 0)
         def _():
             dma_m(0, 0).start()
-            if v7:
-                dma_raw_r(0, 0).start()
 
     def body(b, _):
         slot = b % 2
         wslot = b % 2
 
-        if dm_on:
+        if v7:
+            gb = b // dmak
+            j = b - gb * dmak
+            slotg = jax.lax.rem(gb, 2)
+            joff = pl.multiple_of(j * eb, eb)
+            if dm_on:
+                @pl.when(j == 0)
+                def _():
+                    @pl.when(gb + 1 < ng)
+                    def _():
+                        dma_cr(gb + 1).start()
+
+                    dma_cr(gb).wait()
+            meta = cbuf[slotg, 0:mr, pl.ds(joff, eb)]
+            raw = cbuf[slotg, mr:mr + nh8, pl.ds(joff, eb)]
+        else:
             @pl.when(b + 1 < nblocks)
             def _():
                 dma_m((b + 1) % 2, b + 1).start()
-                if v7:
-                    dma_raw_r((b + 1) % 2, b + 1).start()
 
             dma_m(slot, b).wait()
-            if v7:
-                dma_raw_r(slot, b).wait()
+            meta = mbuf[slot]
 
+        if dm_on and with_dropout:
             # pipelined d_drop writes: only wait for the write issued
             # two blocks ago before reusing its buffer slot (in-tile
             # writes are disjoint; the cross-tile overlap block is
@@ -831,7 +921,6 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             def _():
                 dma_wm(wslot, b - 2).wait()
         start = pl.multiple_of(lo + b * eb, eb)
-        meta = mbuf[slot]
         recv_at = nh8 if with_dropout else 0
         recv_row = meta[recv_at:recv_at + 1, :]
         src_row = meta[recv_at + 1:recv_at + 2, :]
@@ -866,7 +955,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             onehot_w_dt = onehot_w.astype(dt)
 
         if v7:
-            pre = rawbuf[slot] - cap
+            pre = raw - cap
         else:
             if "scores" in ablate:
                 s_src = jnp.zeros((nh8, eb), jnp.float32)
@@ -973,6 +1062,10 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                      == 0))
         dcap_ref[:] += jnp.where(slot00, -jnp.sum(d_raw), 0.0)
 
+        if not with_dropout:
+            # the d_drop output is unused (the caller slices it only
+            # when a mask was given) — skip the whole write stream
+            return 0
         dmblk = hdotg * ex * invd_e                         # d_drop
 
         if not dm_on:
@@ -998,7 +1091,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
 
     jax.lax.fori_loop(0, nblocks, body, 0)
 
-    if dm_on:
+    if dm_on and with_dropout:
         # drain in-flight d_drop writes before the tile's trailing window
         # RMW / the next tile's b==0 read of the shared overlap block
         @pl.when(nblocks >= 2)
@@ -1075,10 +1168,11 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
                 g, out, denom, num_nodes: int, nh: int, f: int,
                 *, eps: float, slope: float, eb: int, nb: int,
                 window: int, with_dropout: bool, interpret: bool,
-                block_base=None, tile_ptr=None, wb: int = 0, raw=None,
-                dmax: int = -1):
+                block_base=None, tile_ptr=None, wb: int = 0,
+                comb=None, dmax: int = -1):
     """Returns (d_table (N_rows, NHFL), d_drop (NH8, E_cols),
     d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128))."""
+    dmak = _dmak()
     e = receivers.shape[0]
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
@@ -1135,7 +1229,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
                          memory_space=pltpu.VMEM),              # a_pad
             pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),              # cap
-        ] + ([pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # raw
+        ] + ([pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # comb
              if wb else []),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # d_table
@@ -1162,7 +1256,8 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
             pltpu.SemaphoreType.DMA((2,)),                      # meta in
             pltpu.SemaphoreType.DMA((3,)),                      # writes
             pltpu.SemaphoreType.DMA((2,)),                      # readbacks
-        ] + ([pltpu.VMEM((2, nh8, eb), jnp.float32),            # rawbuf
+        ] + ([pltpu.VMEM((2, meta.shape[0] + nh8, dmak * eb),
+                         jnp.float32),                          # cbuf
               pltpu.SemaphoreType.DMA((2,))] if wb else [])
           + ([pltpu.VMEM((dmax, nhfl), jnp.float32)]            # stage
              if sliding else []),
@@ -1171,7 +1266,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
         _kernel_v6_bwd, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
         with_dropout=with_dropout, resident=resident, wb=wb,
-        dmax=dmax if sliding else -1, ablate=_ablate())
+        dmax=dmax if sliding else -1, dmak=dmak, ablate=_ablate())
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1196,7 +1291,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
         interpret=interpret,
     )(pref, base, bbase, h8, meta, zeros_h, zeros_m, g_t, out_t, denom_t,
       s_dst_t, a_pad, cap.reshape(1, 1),
-      *([raw] if wb else []))
+      *([comb] if wb else []))
 
 
 @functools.partial(jax.custom_vjp,
@@ -1326,23 +1421,26 @@ def _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
     nh8 = _round_up(nh, 8)
     h8, a_pad, base, nh8, nhfl, n_rows = _v7_prep(
         h_flat, a_src, tile_base, nh, f, window)
-    meta = _pack_meta_v6(drop_mask, receivers, senders, nh8, eb)
+    # pad to the grouped-DMA overhang (a tile's last dmak-block group
+    # read/write may extend up to dmak*eb columns past its edge range)
+    meta = _pack_meta_v6(drop_mask, receivers, senders, nh8,
+                         _dmak() * eb)
     with_dropout = drop_mask is not None
     e7 = jnp.int32(senders.shape[0])
-    out, denom, cap, code, raw = _forward_v6(
+    out, denom, cap, code, comb = _forward_v6(
         h8, meta, a_pad, s_dst, base, receivers, e7, num_nodes,
         nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
         interpret=interpret, with_dropout=with_dropout,
         block_base=block_base, tile_ptr=tile_ptr, wb=wb)
     return out, (h8, meta, a_pad, s_dst, base, cap, code, senders,
                  receivers, denom, out, with_dropout, h_flat.shape[0],
-                 block_base, tile_ptr, raw)
+                 block_base, tile_ptr, comb)
 
 
 def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
               interpret, dmax, res, g):
     (h8, meta, a_pad, s_dst, base, cap, code, senders, receivers,
-     denom, out, with_dropout, n_orig, block_base, tile_ptr, raw) = res
+     denom, out, with_dropout, n_orig, block_base, tile_ptr, comb) = res
     e = receivers.shape[0]
     nh8 = _round_up(nh, 8)
     d_table, d_drop_t, d_sdst_t, d_apad, d_cap = backward_v6(
@@ -1350,7 +1448,7 @@ def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
         out, denom, num_nodes, nh, f, eps=eps, slope=slope, eb=eb,
         nb=nb, window=window, with_dropout=with_dropout,
         interpret=interpret, block_base=block_base, tile_ptr=tile_ptr,
-        wb=wb, raw=raw, dmax=dmax)
+        wb=wb, comb=comb, dmax=dmax)
     d_h_flat = d_table[:n_orig, :nh * f]
     d_a_src = d_apad[:nh * f, :nh]
     d_s_dst = d_sdst_t[:nh].T[:num_nodes]
