@@ -256,54 +256,50 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                                      mbuf.at[slot], msems.at[slot])
 
     if v7:
+        # GLOBAL stream geometry: v7 tiles are eb-aligned, so blocks tile
+        # the edge columns contiguously across the whole grid. The
+        # meta/combined streams run over GLOBAL dmak-block groups with a
+        # one-group prefetch distance that survives tile boundaries —
+        # the previous per-tile streams exposed a read latency at every
+        # tile entry and drained the combined writes at every tile exit
+        # (~5.5 blocks/tile on the banded 5M bench -> thousands of
+        # serial DMA waits; grouping alone measured a wash, the stalls
+        # were per-tile bootstrap/drain, docs/PERF.md round-2-resume).
         geb = dmak * eb               # group width (columns)
-        ng = pl.cdiv(nblocks, dmak)   # groups in this tile
+        g_total = tile_off_ref[t] // eb    # global block count
+        ng_total = pl.cdiv(g_total, dmak)  # global group count
 
-        def dma_mg(gb):
-            # meta group read (phase 0): columns [lo+gb*geb, +geb)
-            start = pl.multiple_of(lo + gb * geb, eb)
+        def dma_mg(gg):
+            # meta group read (phase 0): global columns [gg*geb, +geb)
+            start = pl.multiple_of(gg * geb, eb)
             return pltpu.make_async_copy(
-                meta_hbm.at[:, pl.ds(start, geb)], mbuf.at[gb % 2],
-                msems.at[gb % 2])
+                meta_hbm.at[:, pl.ds(start, geb)], mbuf.at[gg % 2],
+                msems.at[gg % 2])
 
-        def dma_cw(gb):
+        def dma_cw(gg):
             # combined meta+raw group write (phase 0 producer)
-            start = pl.multiple_of(lo + gb * geb, eb)
+            start = pl.multiple_of(gg * geb, eb)
             return pltpu.make_async_copy(
-                cbuf.at[gb % 2], comb_hbm.at[:, pl.ds(start, geb)],
-                rawsems.at[gb % 2])
+                cbuf.at[gg % 2], comb_hbm.at[:, pl.ds(start, geb)],
+                rawsems.at[gg % 2])
 
-        def dma_cr(gb):
+        def dma_cr(gg):
             # combined group read (phase 1 consumer)
-            start = pl.multiple_of(lo + gb * geb, eb)
+            start = pl.multiple_of(gg * geb, eb)
             return pltpu.make_async_copy(
-                comb_hbm.at[:, pl.ds(start, geb)], cbuf.at[gb % 2],
-                rawsems.at[gb % 2])
-
-    # under the "cap" ablation phase 0 does nothing, so its initial meta
-    # DMA must not start either (an unwaited completion would leave the
-    # semaphore unbalanced at kernel exit)
-    start_ok = (nblocks > 0) if "cap" not in ablate else (
-        (nblocks > 0) & (phase == 1))
+                comb_hbm.at[:, pl.ds(start, geb)], cbuf.at[gg % 2],
+                rawsems.at[gg % 2])
 
     if not v7:
+        # under the "cap" ablation phase 0 does nothing, so its initial
+        # meta DMA must not start either (an unwaited completion would
+        # leave the semaphore unbalanced at kernel exit)
+        start_ok = (nblocks > 0) if "cap" not in ablate else (
+            (nblocks > 0) & (phase == 1))
+
         @pl.when(start_ok)
         def _():
             dma_m(0, 0).start()
-
-    if v7 and dm_on:
-        if "cap" not in ablate:
-            @pl.when((nblocks > 0) & (phase == 0))
-            def _():
-                dma_mg(0).start()
-
-        # phase 1 streams the combined meta+raw groups written by
-        # phase 0 (the whole phase-0 sweep precedes phase 1 in the
-        # sequential grid, and each tile drains its writes before
-        # returning)
-        @pl.when((nblocks > 0) & (phase == 1))
-        def _():
-            dma_cr(0).start()
 
     def block_window(b, need_scores=True):
         """(win_t slice (NHFL, WN), s_src over it (NH8, WN), first row,
@@ -371,24 +367,32 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     def cap_body(b, carry):
         vmax, vcode = carry
         if v7:
-            gb = b // dmak
-            j = b - gb * dmak
-            slotg = jax.lax.rem(gb, 2)
+            g = lo // eb + b          # GLOBAL block id (eb-aligned tiles)
+            gg = g // dmak
+            j = g - gg * dmak
+            slotg = jax.lax.rem(gg, 2)
             joff = pl.multiple_of(j * eb, eb)
             if dm_on:
                 @pl.when(j == 0)
                 def _():
-                    @pl.when(gb + 1 < ng)
+                    # bootstrap: the very first global block starts its
+                    # own group's read (everything later is prefetched
+                    # one group ahead, across tile boundaries)
+                    @pl.when(g == 0)
                     def _():
-                        dma_mg(gb + 1).start()
+                        dma_mg(0).start()
 
-                    # before staging into cbuf slot gb%2, its previous
-                    # combined write (group gb-2) must have landed
-                    @pl.when(gb >= 2)
+                    @pl.when(gg + 1 < ng_total)
                     def _():
-                        dma_cw(gb - 2).wait()
+                        dma_mg(gg + 1).start()
 
-                    dma_mg(gb).wait()
+                    # before staging into cbuf slot gg%2, its previous
+                    # combined write (group gg-2) must have landed
+                    @pl.when(gg >= 2)
+                    def _():
+                        dma_cw(gg - 2).wait()
+
+                    dma_mg(gg).wait()
             meta_v = mbuf[slotg, :, pl.ds(joff, eb)]
         else:
             slot = b % 2
@@ -405,13 +409,16 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         raw = s_src + s_dst_e
         if v7 and dm_on:
             # v8: persist this block's meta+raw as ONE combined stream
-            # for phase 1 / backward, flushed once per group
+            # for phase 1 / backward, flushed once per GLOBAL group (the
+            # last global group flushes at the last real block; staging
+            # can span tile boundaries — VMEM scratch persists across
+            # the sequential grid)
             cbuf[slotg, 0:mr, pl.ds(joff, eb)] = meta
             cbuf[slotg, mr:mr + nh8, pl.ds(joff, eb)] = raw
 
-            @pl.when((j == dmak - 1) | (b == nblocks - 1))
+            @pl.when((j == dmak - 1) | (g == g_total - 1))
             def _():
-                dma_cw(gb).start()
+                dma_cw(gg).start()
         head = jax.lax.broadcasted_iota(jnp.int32, (nh8, eb), 0)
         in_tile = ((recv_row >= ti * nb) & (recv_row < ti * nb + nb))
         valid = (head < nh) & (col < e_real) & in_tile
@@ -465,21 +472,26 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
 
     def main_body_v7(b, _):
         # v8 main phase: the combined meta+raw stream written by phase 0
-        # arrives in dmak-block groups — no score matmuls, one-hots
-        # built once directly in the contraction dtype, and one grouped
-        # DMA wait per dmak blocks
-        gb = b // dmak
-        j = b - gb * dmak
-        slotg = jax.lax.rem(gb, 2)
+        # arrives in GLOBAL dmak-block groups — no score matmuls,
+        # one-hots built once directly in the contraction dtype, and the
+        # one-group prefetch distance survives tile boundaries
+        g = lo // eb + b
+        gg = g // dmak
+        j = g - gg * dmak
+        slotg = jax.lax.rem(gg, 2)
         joff = pl.multiple_of(j * eb, eb)
         if dm_on:
             @pl.when(j == 0)
             def _():
-                @pl.when(gb + 1 < ng)
+                @pl.when(g == 0)
                 def _():
-                    dma_cr(gb + 1).start()
+                    dma_cr(0).start()
 
-                dma_cr(gb).wait()
+                @pl.when(gg + 1 < ng_total)
+                def _():
+                    dma_cr(gg + 1).start()
+
+                dma_cr(gg).wait()
         start = pl.multiple_of(lo + b * eb, eb)
         meta = cbuf[slotg, 0:mr, pl.ds(joff, eb)]
         raw = cbuf[slotg, mr:mr + nh8, pl.ds(joff, eb)]
@@ -536,17 +548,19 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
             0, nb_cap, cap_body,
             (jnp.float32(NEG_INF), _I32_MAX * jnp.int32(1)))
         if v7 and "cap" not in ablate and dm_on:
-            # drain this tile's in-flight combined-stream group writes
-            # before the next grid step (phase 1 reads the same HBM ref,
-            # and the next tile's partial-group overhang overwrite must
-            # come after ours)
-            @pl.when(ng >= 2)
+            # drain the in-flight combined-stream writes ONCE, at the end
+            # of the LAST phase-0 tile (phase 1 reads the same HBM ref,
+            # and the sequential grid orders this drain before any read).
+            # Groups are global, so at most the last two are in flight.
+            @pl.when(ti == t - 1)
             def _():
-                dma_cw(ng - 2).wait()
+                @pl.when(ng_total >= 2)
+                def _():
+                    dma_cw(ng_total - 2).wait()
 
-            @pl.when(ng >= 1)
-            def _():
-                dma_cw(ng - 1).wait()
+                @pl.when(ng_total >= 1)
+                def _():
+                    dma_cw(ng_total - 1).wait()
         # fold this tile's (max, code) into the persistent accumulators
         old = capacc[0, 0]
         oldc = codeacc[0, 0]
@@ -865,21 +879,19 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                                      wsems.at[slot])
 
     if v7:
+        # GLOBAL combined-stream groups (same geometry as _kernel_v6:
+        # eb-aligned tiles -> globally contiguous blocks; the per-tile
+        # bootstrap read exposed one DMA latency at every tile entry)
         geb = dmak * eb
-        ng = pl.cdiv(nblocks, dmak)
+        g_total = tile_off_ref[t] // eb
+        ng_total = pl.cdiv(g_total, dmak)
 
-        def dma_cr(gb):
+        def dma_cr(gg):
             # combined meta+raw group read (see _kernel_v6)
-            start = pl.multiple_of(lo + gb * geb, eb)
+            start = pl.multiple_of(gg * geb, eb)
             return pltpu.make_async_copy(
-                comb_hbm.at[:, pl.ds(start, geb)], cbuf.at[gb % 2],
-                rawsems.at[gb % 2])
-
-    if v7:
-        if dm_on:
-            @pl.when(nblocks > 0)
-            def _():
-                dma_cr(0).start()
+                comb_hbm.at[:, pl.ds(start, geb)], cbuf.at[gg % 2],
+                rawsems.at[gg % 2])
     else:
         @pl.when(nblocks > 0)
         def _():
@@ -890,18 +902,23 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         wslot = b % 2
 
         if v7:
-            gb = b // dmak
-            j = b - gb * dmak
-            slotg = jax.lax.rem(gb, 2)
+            g = lo // eb + b          # GLOBAL block id
+            gg = g // dmak
+            j = g - gg * dmak
+            slotg = jax.lax.rem(gg, 2)
             joff = pl.multiple_of(j * eb, eb)
             if dm_on:
                 @pl.when(j == 0)
                 def _():
-                    @pl.when(gb + 1 < ng)
+                    @pl.when(g == 0)
                     def _():
-                        dma_cr(gb + 1).start()
+                        dma_cr(0).start()
 
-                    dma_cr(gb).wait()
+                    @pl.when(gg + 1 < ng_total)
+                    def _():
+                        dma_cr(gg + 1).start()
+
+                    dma_cr(gg).wait()
             meta = cbuf[slotg, 0:mr, pl.ds(joff, eb)]
             raw = cbuf[slotg, mr:mr + nh8, pl.ds(joff, eb)]
         else:

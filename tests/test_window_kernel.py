@@ -270,6 +270,64 @@ def test_v7_matches_oracle(with_dropout, nh, f):
                                    rtol=0, atol=2e-5, err_msg=nm)
 
 
+@pytest.mark.parametrize("dmak", [1, 16])
+def test_v7_global_stream_dmak_edges(dmak, monkeypatch):
+    """The GLOBAL combined meta+raw stream (one group prefetch distance
+    across tile boundaries, single end-of-phase drain) at the dmak
+    extremes: dmak=1 (every block its own group; flush condition
+    j==dmak-1 always true) and dmak=16 > total blocks (ONE partial
+    global group: bootstrap, flush-at-last-block, and drain all hit the
+    same group). The fixture's ~10 blocks over 3 tiles also makes
+    dmak=16's single group span every tile boundary. Forward-only f32
+    parity vs the dense oracle."""
+    monkeypatch.setenv("GAT_TPU_V7_DMAK", str(dmak))
+    os.environ["GAT_TPU_V6_DTYPE"] = "float32"
+    from gat_pytorch_tpu.ops.pallas.segment_attention_window import (
+        fused_gat_window_v7)
+    g, rng = _v7_graph(3)
+    bl = g.block_layout
+    n = g.num_nodes
+    nh, f = 4, 8
+    h = jnp.asarray((rng.normal(size=(n, nh * f)) * 0.1).astype(np.float32))
+    a_src = jnp.asarray((rng.normal(size=(nh * f, nh))
+                         / np.sqrt(nh * f)).astype(np.float32))
+    s_dst = jnp.asarray((rng.normal(size=(n, nh)) * 0.1).astype(np.float32))
+    s7, r7 = np.asarray(bl.send), np.asarray(bl.recv)
+    real = np.flatnonzero(r7 >= 0)
+    sd, rc = jnp.asarray(s7[real]), jnp.asarray(r7[real])
+
+    def lv7(h_, a_, s_):
+        o = fused_gat_window_v7(h_, a_, s_, None, bl.send, bl.recv,
+                                bl.base, bl.tile_ptr, bl.tile_base, n,
+                                nh, f, bl.window, bl.wb, 1e-8, 0.01,
+                                bl.eb, bl.nb, True, bl.dmax)
+        return jnp.sum(jnp.sin(o)), o
+
+    def lref(h_, a_, s_):
+        raw = jnp.take(h_, sd, axis=0) @ a_ + jnp.take(s_, rc, axis=0)
+        pre = raw - jnp.max(raw)
+        ex = jnp.exp(jnp.where(pre >= 0, pre, 0.01 * pre))
+        den = jax.ops.segment_sum(ex, rc, num_segments=n)
+        w = (jnp.take(h_, sd, axis=0).reshape(-1, nh, f)
+             * ex[:, :, None])
+        agg = jax.ops.segment_sum(w, rc, num_segments=n)
+        inv = jnp.where(den > 0, 1.0 / (den + 1e-8), 0.0)
+        o = (agg * inv[:, :, None]).reshape(n, nh * f)
+        return jnp.sum(jnp.sin(o)), o
+
+    (_, o7), g7 = jax.value_and_grad(lv7, argnums=(0, 1, 2),
+                                     has_aux=True)(h, a_src, s_dst)
+    (_, oo), go = jax.value_and_grad(lref, argnums=(0, 1, 2),
+                                     has_aux=True)(h, a_src, s_dst)
+    np.testing.assert_allclose(np.asarray(o7), np.asarray(oo),
+                               rtol=3e-5, atol=3e-5)
+    for a, b, nm in zip(g7, go, ("h", "a_src", "s_dst")):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=2e-5, err_msg=nm)
+
+
 def test_v7_model_gate_engages_and_matches_xla():
     """gat_model_apply routes banded graphs with a block_layout through
     fused_gat_window_v7 in auto mode (interpret on CPU) and matches the
