@@ -64,6 +64,22 @@ def hbm_bandwidth_bytes_per_s() -> float:
     return 819.0
 
 
+def _gemm_input_bytes(num_nodes: int, cfg) -> float:
+    """Unavoidable per-step GEMM input-matrix traffic: each layer's
+    feature transform reads its (N, F_in) input once forward and once
+    backward (d_W = x^T d_h re-reads the saved activation). At Cora
+    shapes this is 32 MB/step — larger than all edge traffic combined —
+    so a roofline that omits it halves the reported sol_fraction for
+    no honest reason. Weight/optimizer streams (~3% at Cora) are still
+    ignored."""
+    heads = [1] + list(cfg.num_heads_per_layer)
+    total = 0.0
+    for i in range(cfg.num_layers):
+        f_in = heads[i] * cfg.head_output_features_per_layer[i]
+        total += 2 * num_nodes * f_in * 4
+    return total
+
+
 def roofline_edges_per_s(num_nodes: int, num_edges: int, cfg) -> float:
     """Speed-of-light edges/s for one train step of the model.
 
@@ -73,6 +89,7 @@ def roofline_edges_per_s(num_nodes: int, num_edges: int, cfg) -> float:
       forward:  gather src features E*NH*F, scatter out E*NH*F,
                 logits/alpha E*3*NH, node h read+write 2*N*NH*F
       backward: ~2x forward (re-read activations, write grads)
+    plus the GEMM input-matrix reads (see _gemm_input_bytes).
     """
     bw = hbm_bandwidth_bytes_per_s()
     total = 0.0
@@ -84,6 +101,7 @@ def roofline_edges_per_s(num_nodes: int, num_edges: int, cfg) -> float:
         per_node = (2 * nh * f) * 4
         total += num_edges * per_edge + num_nodes * per_node
     total *= 3.0  # fwd + ~2x bwd
+    total += _gemm_input_bytes(num_nodes, cfg)
     seconds_per_step = total / bw
     return cfg.num_layers * num_edges / seconds_per_step
 
@@ -107,6 +125,7 @@ def roofline_tile_edges_per_s(num_nodes: int, num_edges: int,
                          + num_nodes * (2 * nh * f) * 4)
         crossings = 2 * num_edges * 4096
         total += payload + crossings
+    total += _gemm_input_bytes(num_nodes, cfg)
     return cfg.num_layers * num_edges / (total / bw)
 
 
