@@ -8,9 +8,14 @@ Workloads:
   * Cora-shaped 2-layer GAT (8 heads x 8, 1433-dim inputs — the
     reference's headline config, run_config.py:78-84 shapes from
     SURVEY.md §6): the primary metric (value/vs_baseline/sol_fraction).
+  * Pubmed-shaped (19,717 nodes / 500 features) — the reference's
+    largest real transductive graph (pubmed_* keys).
   * scale: 500k-node / 5M-edge random graph, 8 heads x 16 — the
     throughput regime where the fused kernels dominate (the scale_* keys;
     VERDICT r1 item 2 asks for an honest large-workload sol_fraction).
+  * banded: same size/model as scale but band-1024 locality — the
+    structured-graph class where the windowed kernels eliminate random
+    row crossings (banded_* keys).
 
 Both measure the full train step (forward + backward + Adam) inside
 lax.scan blocks (one dispatch per block — per-dispatch tunnel overhead is
@@ -190,6 +195,22 @@ def cora_workload():
             run_cfg.learning_rate, run_cfg.l2_reg)
 
 
+def pubmed_workload():
+    """Pubmed-shaped workload (reference run_config.py:81-98 shapes,
+    SURVEY.md §6: 19,717 nodes / 500 features / 3 classes) — the
+    reference's largest real transductive graph; synthetic stand-in when
+    the raw files are absent (same loader fallback as training)."""
+    from gat_pytorch_tpu.data import datasets, loader
+    from gat_pytorch_tpu.train.tasks import make_task
+    from gat_pytorch_tpu.utils.config import get_config
+    run_cfg = get_config("Pubmed")
+    raw = datasets.load_planetoid("Pubmed", seed=0)
+    graph = loader.transductive_graph(raw, reorder="rcm",
+                                      src_windows=True)
+    return (run_cfg.gat_config(), graph, make_task("Pubmed"),
+            run_cfg.learning_rate, run_cfg.l2_reg)
+
+
 def scale_workload(num_nodes=500_000, avg_degree=10, features=64):
     from gat_pytorch_tpu.data.synthetic import make_random_graph
     from gat_pytorch_tpu.graph import transforms as T
@@ -284,6 +305,17 @@ def main() -> None:
     }
 
     if not args.skip_scale:
+        p_inner = int(os.environ.get("GAT_TPU_BENCH_PUBMED_INNER", "100"))
+        cfgp, graphp, taskp, lrp, l2p = pubmed_workload()
+        dtp = measure_train_step(cfgp, graphp, taskp, lrp, l2p,
+                                 p_inner, iters)
+        ep = int(np.asarray(graphp.edge_mask).sum())
+        np_ = int(np.asarray(graphp.node_mask).sum())
+        epsp = cfgp.num_layers * ep / dtp
+        out["pubmed_edges_per_s"] = round(epsp, 1)
+        out["pubmed_sol_fraction"] = round(
+            epsp / roofline_edges_per_s(np_, ep, cfgp), 4)
+
         s_inner = int(os.environ.get("GAT_TPU_BENCH_SCALE_INNER", "10"))
         s_iters = int(os.environ.get("GAT_TPU_BENCH_SCALE_ITERS", "3"))
         cfg2, graph2, task2, lr2, l22 = scale_workload()

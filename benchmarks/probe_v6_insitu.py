@@ -34,10 +34,12 @@ def main() -> None:
         v6, dropout, rbg = case[0], float(case[1]), case[2]
         merged = case[3] if len(case) > 3 else "1"
         gemm = case[4] if len(case) > 4 else "float32"
+        remat = case[5] if len(case) > 5 else "1"
         os.environ["GAT_TPU_V6"] = v6
         os.environ["GAT_TPU_RBG_DROPOUT"] = rbg
         os.environ["GAT_TPU_V5_MERGED"] = merged
         os.environ["GAT_TPU_GEMM_DTYPE"] = gemm
+        os.environ["GAT_TPU_REMAT_DROPOUT"] = remat
         g = graph
         if gemm == "bfloat16":
             # bf16 AT REST: cast the feature matrix once outside the
@@ -50,7 +52,7 @@ def main() -> None:
                                       inner, iters)
         print(json.dumps({
             "v6": v6, "dropout": dropout, "rbg": rbg, "merged": merged,
-            "gemm": gemm,
+            "gemm": gemm, "remat": remat,
             "ms_per_step": round(dt * 1e3, 4),
             "edges_per_s": round(c.num_layers * e_real / dt, 1),
         }), flush=True)

@@ -47,3 +47,15 @@ def test_rooflines_monotone():
     ideal = bench.roofline_edges_per_s(n, e, cfg)
     tile = bench.roofline_tile_edges_per_s(n, e, cfg)
     assert tile < ideal
+
+
+def test_pubmed_workload_shapes():
+    """Pubmed line added round 3: reference's largest transductive graph
+    (SURVEY.md §6: 19,717 nodes); one CPU train step must run."""
+    cfg, graph, task, lr, l2 = bench.pubmed_workload()
+    n = int(np.asarray(graph.node_mask).sum())
+    assert n == 19717
+    assert cfg.num_classes == 3
+    dt = bench.measure_train_step(cfg, graph, task, lr, l2,
+                                  inner=1, iters=1)
+    assert dt > 0
