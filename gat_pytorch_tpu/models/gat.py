@@ -869,9 +869,25 @@ def gat_model_apply(params: Params,
     rngs = (jax.random.split(rng, 2 * n_layers)
             if rng is not None else [None] * (2 * n_layers))
 
+    # Rematerialised input dropout: without remat, autodiff saves the
+    # DROPPED feature matrix as the residual for d_W = x_drop^T d_h.
+    # jax.checkpoint makes the backward recompute mask*x from the
+    # (already-resident) input and the rbg key instead — one (N, F_in)
+    # residual less per layer (Cora: 16 MB, Pubmed: 39 MB). Step time
+    # measured a WASH on-chip (0.374 vs 0.375 ms/step, probe_v6_insitu
+    # remat field) — XLA evidently overlaps the extra write — so this
+    # is a memory-capacity win, not a throughput one.
+    # GAT_TPU_REMAT_DROPOUT=0 reverts.
+    import os as _os
+    drop_fn = (jax.checkpoint(
+        lambda xx, rr: _dropout(xx, cfg.dropout, rr, training))
+        if _os.environ.get("GAT_TPU_REMAT_DROPOUT", "1") != "0"
+        else lambda xx, rr: _dropout(xx, cfg.dropout, rr, training))
+
     for i in range(n_layers):
         layer_input = x
-        x = _dropout(x, cfg.dropout, rngs[2 * i], training)
+        if training and cfg.dropout > 0.0:
+            x = drop_fn(x, rngs[2 * i])
         out = gat_layer_apply(
             params["layers"][i], layer_cfgs[i], x,
             graph.senders, graph.receivers, graph.edge_mask, graph.num_nodes,
