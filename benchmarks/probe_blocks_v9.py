@@ -44,8 +44,13 @@ def main() -> None:
                                     else bench.cora_workload())
         bl = graph.block_layout
         e_real = int(np.asarray(graph.edge_mask).sum())
-        dt = bench.measure_train_step(cfg, graph, task, lr, l2,
-                                      inner, iters)
+        try:
+            dt = bench.measure_train_step(cfg, graph, task, lr, l2,
+                                          inner, iters)
+        except Exception as exc:  # e.g. VMEM OOM at large eb — keep going
+            print(json.dumps({"wl": wl, "eb": int(eb), "nb": int(nb),
+                              "error": str(exc)[:200]}), flush=True)
+            continue
         print(json.dumps({
             "wl": wl, "eb": int(eb), "nb": int(nb), "wb": int(bl.wb),
             "slots": int(bl.send.shape[0]),

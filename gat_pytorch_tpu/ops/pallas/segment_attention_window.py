@@ -110,6 +110,9 @@ def _ablate():
       accdot  — skip the fwd acc / bwd dsdst+dasrc accumulation dots (v7)
       dmam    — skip the per-block meta/raw/d_drop streams (stale reads)
       dmaw    — skip the per-tile window stream and d(h) RMW writeback
+      winT    — replace the per-block window slice + Mosaic transpose
+                (block_window's wbuf[ds].T) by a constant: attributes
+                the per-block VMEM load + transpose cost (v7 only)
     """
     import os
     return frozenset(
@@ -315,8 +318,11 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         off = jnp.minimum(jnp.maximum(bbase_ref[goff] - base_i, 0),
                           w - wb)
         off = pl.multiple_of((off // 8) * 8, 8)
-        blk = wbuf[wslot_ix, pl.ds(off, wb), :].astype(jnp.float32)
-        blk_t = blk.T                                        # (NHFL, WB)
+        if "winT" in ablate:
+            blk_t = jnp.full((nhfl, wb), 1e-3, jnp.float32)
+        else:
+            blk = wbuf[wslot_ix, pl.ds(off, wb), :].astype(jnp.float32)
+            blk_t = blk.T                                    # (NHFL, WB)
         if not need_scores or "scores" in ablate:
             s_src_blk = None
         else:
@@ -847,7 +853,11 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         goff = lo // eb + b
         off = jnp.minimum(jnp.maximum(bbase_ref[goff] - base, 0), w - wb)
         off = pl.multiple_of((off // 8) * 8, 8)
-        blk_t = wbuf[wslot_ix, pl.ds(off, wb), :].astype(jnp.float32).T
+        if "winT" in ablate:
+            blk_t = jnp.full((nhfl, wb), 1e-3, jnp.float32)
+        else:
+            blk_t = wbuf[wslot_ix, pl.ds(off, wb), :
+                         ].astype(jnp.float32).T
         if not need_scores:
             s_src_blk = None
         elif "scores" in ablate:
