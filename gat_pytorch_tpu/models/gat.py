@@ -584,7 +584,12 @@ def gat_layer_apply(params: Params,
                 owner = idx == jax.lax.pmin(cand, edge_axis)
                 cap = jax.lax.psum(jnp.where(owner, local, 0.0), edge_axis)
             logits = logits - cap
-        logits = jax.nn.leaky_relu(logits, negative_slope=cfg.slope)
+        # torch LeakyReLU gradient convention: slope at exactly 0
+        # (measured: torch.nn.functional.leaky_relu grad at 0 -> slope;
+        # jax.nn.leaky_relu gives 1). With the pre-LeakyReLU global cap
+        # the argmax logit sits exactly at 0, so the convention is
+        # load-bearing for gradient parity, not measure-zero.
+        logits = jnp.where(logits > 0, logits, cfg.slope * logits)
 
     # ---- fused Pallas path: steps (3)-(5) in one kernel pass ------------
     # eligible whenever alpha itself isn't needed host-side; with

@@ -42,12 +42,13 @@ def gat_layer_naive(params, cfg, x, senders, receivers, edge_mask,
             a = params["a"]                                  # (NH, 2F)
             logits = (hs * a[None, :, :f]).sum(-1) + (
                 hd * a[None, :, f:]).sum(-1)
-            logits = jax.nn.leaky_relu(logits, cfg.slope)
+            logits = jnp.where(logits > 0, logits, cfg.slope * logits)
         else:
             pairs = jnp.concatenate([hs, hd], -1).reshape(e, nh * 2 * f)
             logits = jnp.dot(pairs, params["a"])             # (E, NH)
             cap = jnp.max(jnp.where(edge_mask[:, None], logits, -jnp.inf))
-            logits = jax.nn.leaky_relu(logits - cap, cfg.slope)
+            pre = logits - cap
+            logits = jnp.where(pre > 0, pre, cfg.slope * pre)
 
     masked = jnp.where(edge_mask[:, None], logits, -jnp.inf)
     if cfg.paper_faithful:

@@ -886,7 +886,7 @@ def _kernel_v5(pref_ref,           # (T+2,) int32: tile offsets | e_real
             s_dst_ref[:], onehot_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (NH8, EB)
         pre = (s_src + s_dst_e) - cap
-        lgt = jnp.where(pre >= 0.0, pre, slope * pre)
+        lgt = jnp.where(pre > 0.0, pre, slope * pre)
         ex = jnp.exp(lgt)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
         ex = jnp.where(col < e_real, ex, 0.0)               # (NH8, EB)
@@ -1356,7 +1356,7 @@ def _kernel_v5_auto(pref_ref,          # (T+2,) int32: tile offsets | e_real
         h_t = hb.T[:nhf8]
         cap = jnp.max(capacc[:])
         pre = (s_src + s_dst_e) - cap
-        lgt = jnp.where(pre >= 0.0, pre, slope * pre)
+        lgt = jnp.where(pre > 0.0, pre, slope * pre)
         ex = jnp.exp(lgt)
         ex = jnp.where(col < e_real, ex, 0.0)               # (NH8, EB)
 

@@ -648,7 +648,7 @@ def _kernel_v5_bwd(pref_ref,
             s_dst_ref[:], onehot_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         pre = (s_src + s_dst_e) - cap
-        lgt = jnp.where(pre >= 0.0, pre, slope * pre)
+        lgt = jnp.where(pre > 0.0, pre, slope * pre)
         ex = jnp.exp(lgt)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
         in_range = col < e_real
@@ -677,7 +677,7 @@ def _kernel_v5_bwd(pref_ref,
         if m is not None:
             d_ex = d_ex * m
         d_lg = ex * (d_ex + dden_e)
-        d_pre = jnp.where(pre >= 0.0, d_lg, slope * d_lg)
+        d_pre = jnp.where(pre > 0.0, d_lg, slope * d_lg)
         d_raw = jnp.where(in_range, d_pre, 0.0)             # (NH8, EB)
 
         # d(h) = feature term + attention term a_src . d_raw

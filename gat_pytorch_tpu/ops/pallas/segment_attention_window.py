@@ -449,7 +449,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
          col, wt_blk) = edge_inputs(mbuf[slot], b)
         cap = jnp.max(capacc[:])
         pre = (s_src + s_dst_e) - cap
-        lgt = jnp.where(pre >= 0.0, pre, slope * pre)
+        lgt = jnp.where(pre > 0.0, pre, slope * pre)
         ex = jnp.exp(lgt)
         ex = jnp.where(col < e_real, ex, 0.0)               # (NH8, EB)
 
@@ -516,7 +516,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                            == rows_wb_f).astype(dt)          # (WN, EB)
         cap = jnp.max(capacc[:])
         pre = raw - cap
-        lgt = jnp.where(pre >= 0.0, pre, slope * pre)
+        lgt = jnp.where(pre > 0.0, pre, slope * pre)
         ex = lgt if "exp" in ablate else jnp.exp(lgt)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
         ex = jnp.where(col < e_real, ex, 0.0)               # (NH8, EB)
@@ -995,7 +995,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                     s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             pre = (s_src + s_dst_e) - cap
-        lgt = jnp.where(pre >= 0.0, pre, slope * pre)
+        lgt = jnp.where(pre > 0.0, pre, slope * pre)
         ex = lgt if "exp" in ablate else jnp.exp(lgt)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
         in_range = col < e_real
@@ -1050,7 +1050,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         if m is not None:
             d_ex = d_ex * m
         d_lg = ex * (d_ex + dden_e)
-        d_pre = jnp.where(pre >= 0.0, d_lg, slope * d_lg)
+        d_pre = jnp.where(pre > 0.0, d_lg, slope * d_lg)
         d_raw = jnp.where(in_range, d_pre, 0.0)             # (NH8, EB)
 
         d_h_att = jax.lax.dot_general(

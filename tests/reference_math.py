@@ -14,7 +14,7 @@ import numpy as np
 
 
 def leaky_relu(x, slope):
-    return np.where(x >= 0, x, slope * x)
+    return np.where(x > 0, x, slope * x)
 
 
 def ref_gat_layer(x, senders, receivers, W, a, *, num_heads, out_features,

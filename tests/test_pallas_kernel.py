@@ -267,7 +267,7 @@ def test_v5_in_kernel_logits_matches_oracle(with_dropout, nh, f):
     def oracle(hh, aa, ss, cc, dd):
         raw = jnp.take(hh, sd, axis=0) @ aa + jnp.take(ss, rc, axis=0)
         pre = raw - cc
-        ex = jnp.exp(jnp.where(pre >= 0, pre, slope * pre))
+        ex = jnp.exp(jnp.where(pre > 0, pre, slope * pre))
         ex = jnp.where((jnp.arange(e) < e_real)[:, None], ex, 0.0)
         denom = jax.ops.segment_sum(ex, rc, num_segments=n,
                                     indices_are_sorted=True)
@@ -342,7 +342,7 @@ def test_v5_autocap_matches_jnp_max_oracle(with_dropout, nh, f, merged,
         mask = (jnp.arange(e) < e_real)[:, None]
         cap = jnp.max(jnp.where(mask, raw, -1e30))
         pre = raw - cap
-        ex = jnp.exp(jnp.where(pre >= 0, pre, slope * pre)) * mask
+        ex = jnp.exp(jnp.where(pre > 0, pre, slope * pre)) * mask
         denom = jax.ops.segment_sum(ex, rc, num_segments=n,
                                     indices_are_sorted=True)
         num = ex if dd is None else ex * dd

@@ -49,7 +49,7 @@ def _oracle(hh, aa, ss, dd, sd, rc, e_real, n, nh, f, slope):
     mask = (jnp.arange(e) < e_real)[:, None]
     cap = jnp.max(jnp.where(mask, raw, -1e30))
     pre = raw - cap
-    ex = jnp.exp(jnp.where(pre >= 0, pre, slope * pre)) * mask
+    ex = jnp.exp(jnp.where(pre > 0, pre, slope * pre)) * mask
     denom = jax.ops.segment_sum(ex, rc, num_segments=n,
                                 indices_are_sorted=True)
     num = ex if dd is None else ex * dd
@@ -246,7 +246,7 @@ def test_v7_matches_oracle(with_dropout, nh, f):
         raw = jnp.take(h_, sd, axis=0) @ a_ + jnp.take(s_, rc, axis=0)
         cap = jnp.max(raw)
         pre = raw - cap
-        ex = jnp.exp(jnp.where(pre >= 0, pre, 0.01 * pre))
+        ex = jnp.exp(jnp.where(pre > 0, pre, 0.01 * pre))
         den = jax.ops.segment_sum(ex, rc, num_segments=n)
         num = ex if d_ is None else ex * jnp.take(d_, jnp.asarray(real),
                                                   axis=0)
@@ -306,7 +306,7 @@ def test_v7_global_stream_dmak_edges(dmak, monkeypatch):
     def lref(h_, a_, s_):
         raw = jnp.take(h_, sd, axis=0) @ a_ + jnp.take(s_, rc, axis=0)
         pre = raw - jnp.max(raw)
-        ex = jnp.exp(jnp.where(pre >= 0, pre, 0.01 * pre))
+        ex = jnp.exp(jnp.where(pre > 0, pre, 0.01 * pre))
         den = jax.ops.segment_sum(ex, rc, num_segments=n)
         w = (jnp.take(h_, sd, axis=0).reshape(-1, nh, f)
              * ex[:, :, None])
