@@ -372,8 +372,21 @@ def gat_layer_apply(params: Params,
             from ..utils.platform import is_tpu_backend
             interpret = not is_tpu_backend()
             a_src, a_dst = _split_attention_map(params["a"], nh, f)
-            s_dst_n = jnp.dot(h_flat, a_dst,
-                              preferred_element_type=jnp.float32)
+            if use_v7:
+                # ONE widened MXU call gives both node score tables from
+                # a single h pass: s_dst for the kernel operand, s_src
+                # only for the v10 single-sweep score_bound (any global
+                # upper bound on the raw logits; stop_gradient because
+                # the bound cancels algebraically in the epilogue)
+                s_both = jnp.dot(h_flat,
+                                 jnp.concatenate([a_src, a_dst], 1),
+                                 preferred_element_type=jnp.float32)
+                s_dst_n = s_both[:, nh:]
+                bound = jax.lax.stop_gradient(
+                    jnp.max(s_both[:, :nh]) + jnp.max(s_dst_n))
+            else:
+                s_dst_n = jnp.dot(h_flat, a_dst,
+                                  preferred_element_type=jnp.float32)
 
             def make_drop(e_slots):
                 if not (training and cfg.dropout > 0.0):
@@ -388,6 +401,7 @@ def gat_layer_apply(params: Params,
                 out = fsw.fused_gat_window_v7(
                     h_flat, a_src, s_dst_n, make_drop(bl.send.shape[0]),
                     bl.send, bl.recv, bl.base, bl.tile_ptr, bl.tile_base,
+                    bound,
                     num_nodes, nh, f, bl.window, bl.wb, 1e-8, cfg.slope,
                     bl.eb, bl.nb, interpret, getattr(bl, "dmax", -1))
             else:

@@ -140,7 +140,8 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                eb: int, nb: int, nh: int, f: int, nh8: int,
                nhf8: int, nhfl: int, w: int, eps: float, slope: float,
                with_dropout: bool, resident: bool, wb: int = 0,
-               dmak: int = 4, ablate: frozenset = frozenset()):
+               dmak: int = 4, ablate: frozenset = frozenset(),
+               sweep1: bool = False):
     # wb > 0 selects the v7 BLOCK-LOCAL window mode (Graph.block_layout):
     # tile offsets are eb-aligned (no shared overlap blocks) and every
     # edge block's one-hot/gather/scatter contractions run against a
@@ -158,6 +159,20 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     # the round-2 ablation sweep (docs/PERF.md): one-hot construction
     # 39 ms + score matmuls 18 ms of the 115.6 ms banded 5M step, vs
     # ~0.6 ms/layer of extra HBM traffic for the raw tiles.
+    # sweep1 (v10, v7-only): SINGLE-SWEEP forward. The reference caps
+    # raw logits BEFORE LeakyReLU, so every capped logit is <= 0 and
+    # LeakyReLU(raw - cap) == slope*(raw - cap) EXACTLY (including the
+    # argmax at 0; torch's grad convention there is slope too). exp is
+    # then SEPARABLE: exp(slope*(raw-cap)) = exp(slope*raw')*K with raw'
+    # the operand-level B-shifted raw (the caller folds a global upper
+    # bound B >= max raw into s_dst, keeping ex <= 1 — overflow-safe)
+    # and K a per-step scalar. The softmax quotient cancels K except in
+    # the +1e-8 eps term, so the kernel can accumulate UNNORMALISED
+    # num/den in the same sweep that tracks (max, argmax) — no phase
+    # barrier, half the one-hot builds/meta reads/window streams — and
+    # an XLA epilogue divides by (den + eps*exp(slope*cap')). Exact in
+    # real arithmetic; float rounding differs ~1 ulp from the 2-phase
+    # form (parity pinned by tests/test_window_kernel.py).
     v7 = wb > 0
     if v7:
         # comb_hbm: (MR+NH8, C) combined meta+raw stream (phase 0 writes
@@ -172,9 +187,10 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         wbuf, mbuf, sems, msems, capacc, codeacc = rest
     mr = (nh8 if with_dropout else 0) + 8   # meta rows (_pack_meta_v6)
     i = pl.program_id(0)
-    t = pl.num_programs(0) // 2
-    ti = jax.lax.rem(i, t)
-    phase = i // t                    # 0 = cap sweep, 1 = attention
+    n_total = pl.num_programs(0)
+    t = n_total if sweep1 else n_total // 2
+    ti = i if sweep1 else jax.lax.rem(i, t)
+    phase = jnp.int32(0) if sweep1 else i // t   # 0 = cap, 1 = attention
     if v7:
         lo = tile_off_ref[ti]         # eb-aligned by construction
     else:
@@ -219,7 +235,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         def _():
             dma_w(0, 0).start()
 
-        @pl.when(i + 1 < 2 * t)
+        @pl.when(i + 1 < n_total)
         def _():
             dma_w((i + 1) % 2, i + 1).start()
 
@@ -433,6 +449,44 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         bm = jnp.max(masked)
         bcode = jnp.min(jnp.where(masked == bm, code, _I32_MAX))
         tie = jnp.where(bm == vmax, jnp.minimum(bcode, vcode), vcode)
+
+        if sweep1:
+            # single-sweep attention accumulation (see kernel docstring):
+            # raw is already B-shifted (<= 0 at the true max), LeakyReLU
+            # collapsed to its negative branch, normalisation deferred
+            # to the XLA epilogue — the acc output is UNNORMALISED
+            # [num | den]. dt one-hots come from CASTS of the f32 ones
+            # edge_inputs built for the score matmuls (1 VPU op vs a
+            # fresh iota+cmp+select build).
+            dt = _v6_dtype()
+            ex = jnp.exp(slope * raw)
+            ex = jnp.where(col < e_real, ex, 0.0)           # (NH8, EB)
+            if "gather" in ablate:
+                gathered_t = jnp.zeros((nhfl, eb), jnp.float32)
+            else:
+                gathered_t = jax.lax.dot_general(
+                    _wsl.astype(dt), onehot_w.astype(dt),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (NHFL, EB)
+            h_t = gathered_t[:nhf8]
+            num_t = ex
+            if with_dropout:
+                num_t = num_t * meta[0:nh8, :]
+            if "expander" in ablate:
+                num_wide = jnp.zeros((nhf8, eb), jnp.float32)
+            else:
+                num_wide = jax.lax.dot_general(
+                    expander, num_t, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (NHF8, EB)
+            weighted_t = h_t * num_wide
+            combined = jnp.concatenate([weighted_t, ex], axis=0
+                                       ).astype(dt)
+            if "accdot" not in ablate:
+                acc_ref[:] += jax.lax.dot_general(
+                    combined, onehot_dst.astype(dt),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (NHF8+NH8, NB)
+
         return (jnp.maximum(vmax, bm),
                 jnp.where(bm > vmax, bcode, tie))
 
@@ -547,13 +601,16 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                 preferred_element_type=jnp.float32)  # (NHF8+NH8, NB)
         return 0
 
-    @pl.when(phase == 0)
-    def _():
-        nb_cap = jnp.int32(0) if "cap" in ablate else nblocks
+    def _phase0():
+        if sweep1:
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            nb_cap = nblocks          # merged sweep can't skip blocks
+        else:
+            nb_cap = jnp.int32(0) if "cap" in ablate else nblocks
         vmax, vcode = jax.lax.fori_loop(
             0, nb_cap, cap_body,
             (jnp.float32(NEG_INF), _I32_MAX * jnp.int32(1)))
-        if v7 and "cap" not in ablate and dm_on:
+        if v7 and ("cap" not in ablate or sweep1) and dm_on:
             # drain the in-flight combined-stream writes ONCE, at the end
             # of the LAST phase-0 tile (phase 1 reads the same HBM ref,
             # and the sequential grid orders this drain before any read).
@@ -579,8 +636,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         capacc[:] = jnp.where(slot00, jnp.maximum(old, vmax), NEG_INF)
         codeacc[:] = jnp.where(slot00, newc, _I32_MAX)
 
-    @pl.when(phase == 1)
-    def _():
+    def _phase1():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         jax.lax.fori_loop(0, nblocks, main_body_v7 if v7 else main_body,
                           0)
@@ -590,6 +646,12 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
             expander, inv, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_ref[:nhf8, :] = acc_ref[:nhf8, :] * inv_wide
+
+    if sweep1:
+        _phase0()                     # merged: acc is UNNORMALISED
+    else:
+        pl.when(phase == 0)(_phase0)
+        pl.when(phase == 1)(_phase1)
 
     cap_ref[:] = capacc[:]
     code_ref[:] = codeacc[:]
@@ -644,7 +706,7 @@ def _v6_prep(h_flat, a_src, senders, receivers, tile_lo, num_nodes,
 def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
                 num_nodes, nh, f, *, eps, slope, eb, nb, window,
                 interpret, with_dropout, block_base=None, tile_ptr=None,
-                wb=0):
+                wb=0, sweep1=False):
     dmak = _dmak()
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
@@ -666,7 +728,7 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(2 * t,),
+        grid=(t,) if sweep1 else (2 * t,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # h8
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # meta
@@ -702,7 +764,7 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
         _kernel_v6, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
         with_dropout=with_dropout, resident=resident, wb=wb,
-        dmak=dmak, ablate=_ablate())
+        dmak=dmak, ablate=_ablate(), sweep1=sweep1)
     e = receivers.shape[0]
     outs = pl.pallas_call(
         kernel,
@@ -718,7 +780,7 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
             flops=2 * (e + eb) * (2 * (wb or window) * nh8
                                   + (wb or window) * nhfl
                                   + 2 * nb * (nhf8 + nh8)),
-            bytes_accessed=(1 if resident else 2 * t)
+            bytes_accessed=(1 if resident else (t if sweep1 else 2 * t))
             * window * nhfl * 4
             + (2 + (2 if wb else 0)) * (e + eb) * meta.shape[0] * 4
             + n_pad * (nhf8 + nh8) * 4,
@@ -748,7 +810,8 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                    nhf8: int, nhfl: int, w: int, eps: float,
                    slope: float, with_dropout: bool, resident: bool,
                    wb: int = 0, dmax: int = -1, dmak: int = 4,
-                   ablate: frozenset = frozenset()):
+                   ablate: frozenset = frozenset(),
+                   sweep1: bool = False):
     v7 = wb > 0                       # block-local windows (see _kernel_v6)
     sliding = dmax >= 0               # sliding d(h) accumulator (v7 only)
     # v7 runs the v8 raw-score pipeline: the forward saved a COMBINED
@@ -779,6 +842,9 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
 
     expander = _expander(nh8, nhf8, nh, f)
     a_src_t = a_src_ref[:].astype(jnp.float32)
+    # sweep1 (v10): the SMEM scalar holds eps' = eps*exp(slope*cap')
+    # (the epilogue's effective denominator eps — see _kernel_v6) and
+    # the comb stream's raw is already B-shifted; legacy: it holds cap.
     cap = cap_sref[0, 0]
     dsdst_ref[:] = jnp.zeros_like(dsdst_ref)
 
@@ -788,7 +854,8 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         dcap_ref[:] = jnp.zeros_like(dcap_ref)
 
     d = denom_t[:]
-    inv_d = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
+    eps_eff = cap if sweep1 else eps
+    inv_d = jnp.where(d > 0.0, 1.0 / (d + eps_eff), 0.0)
     outg_h = jax.lax.dot_general(
         expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -981,7 +1048,9 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             onehot_w = (src_row == wrow).astype(jnp.float32)     # (WN, EB)
             onehot_w_dt = onehot_w.astype(dt)
 
-        if v7:
+        if v7 and sweep1:
+            pre = raw                 # B-shifted raw; lgt = slope*pre
+        elif v7:
             pre = raw - cap
         else:
             if "scores" in ablate:
@@ -995,7 +1064,8 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                     s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             pre = (s_src + s_dst_e) - cap
-        lgt = jnp.where(pre > 0.0, pre, slope * pre)
+        lgt = slope * pre if sweep1 else jnp.where(
+            pre > 0.0, pre, slope * pre)
         ex = lgt if "exp" in ablate else jnp.exp(lgt)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
         in_range = col < e_real
@@ -1050,7 +1120,8 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         if m is not None:
             d_ex = d_ex * m
         d_lg = ex * (d_ex + dden_e)
-        d_pre = jnp.where(pre > 0.0, d_lg, slope * d_lg)
+        d_pre = slope * d_lg if sweep1 else jnp.where(
+            pre > 0.0, d_lg, slope * d_lg)
         d_raw = jnp.where(in_range, d_pre, 0.0)             # (NH8, EB)
 
         d_h_att = jax.lax.dot_general(
@@ -1084,10 +1155,14 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                 gathered_t.astype(dt), d_raw.astype(dt),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)         # (NHFL, NH8)
-        slot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
-                  & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-                     == 0))
-        dcap_ref[:] += jnp.where(slot00, -jnp.sum(d_raw), 0.0)
+        if not sweep1:
+            # legacy 2-phase: the cap cotangent is -sum(d_raw); sweep1
+            # computes d(cap) in the XLA epilogue (eps' chain) instead
+            slot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                       == 0)
+                      & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                         == 0))
+            dcap_ref[:] += jnp.where(slot00, -jnp.sum(d_raw), 0.0)
 
         if not with_dropout:
             # the d_drop output is unused (the caller slices it only
@@ -1196,9 +1271,11 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
                 *, eps: float, slope: float, eb: int, nb: int,
                 window: int, with_dropout: bool, interpret: bool,
                 block_base=None, tile_ptr=None, wb: int = 0,
-                comb=None, dmax: int = -1):
+                comb=None, dmax: int = -1, sweep1: bool = False):
     """Returns (d_table (N_rows, NHFL), d_drop (NH8, E_cols),
-    d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128))."""
+    d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128)).
+    sweep1: `cap` holds eps' = eps*exp(slope*cap') and `denom` the
+    UNNORMALISED den' (v10 single-sweep forward — see _kernel_v6)."""
     dmak = _dmak()
     e = receivers.shape[0]
     t = pl.cdiv(num_nodes, nb)
@@ -1293,7 +1370,8 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
         _kernel_v6_bwd, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
         with_dropout=with_dropout, resident=resident, wb=wb,
-        dmax=dmax if sliding else -1, dmak=dmak, ablate=_ablate())
+        dmax=dmax if sliding else -1, dmak=dmak, ablate=_ablate(),
+        sweep1=sweep1)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1411,12 +1489,21 @@ def _v7_prep(h_flat, a_src, tile_base, nh, f, window):
     return h8, a_pad, base, nh8, nhfl, n_rows
 
 
+def _v10_sweep1() -> bool:
+    """v10 single-sweep forward gate (see _kernel_v6 sweep1 docstring).
+    GAT_TPU_V10=0 keeps the 2-phase cap-then-attention forward for
+    A/B runs; both produce the same math (1-ulp-class rounding diff
+    from the deferred normalisation)."""
+    import os
+    return os.environ.get("GAT_TPU_V10", "1") != "0"
+
+
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17,
-                                    18, 19))
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17,
+                                    18, 19, 20))
 def fused_gat_window_v7(h_flat, a_src, s_dst, drop_mask,
                         senders, receivers, block_base, tile_ptr,
-                        tile_base,
+                        tile_base, score_bound,
                         num_nodes: int, nh: int, f: int,
                         window: int, wb: int,
                         eps: float = 1e-8, slope: float = 0.01,
@@ -1434,17 +1521,35 @@ def fused_gat_window_v7(h_flat, a_src, s_dst, drop_mask,
     window/wb vs fused_gat_window. drop_mask, when given, is
     (E7, nh) in LAYOUT order (attention-dropout masks are iid per edge,
     so generating them directly in layout order is equivalent).
+    score_bound: any global scalar >= max raw logit (keeps the
+    single-sweep exp <= 1 — overflow-safe); None computes it from the
+    node score tables. Ignored by the 2-phase mode (GAT_TPU_V10=0).
     Replaces reference models/gat_layer.py:70-127."""
     out, _ = _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders,
                        receivers, block_base, tile_ptr, tile_base,
+                       score_bound,
                        num_nodes, nh, f, window, wb, eps, slope, eb, nb,
                        interpret, dmax)
     return out
 
 
 def _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
-              block_base, tile_ptr, tile_base, num_nodes, nh, f, window,
+              block_base, tile_ptr, tile_base, score_bound,
+              num_nodes, nh, f, window,
               wb, eps, slope, eb, nb, interpret, dmax=-1):
+    sweep1 = _v10_sweep1()
+    if sweep1:
+        if score_bound is None:
+            s_src_n = jnp.dot(h_flat, a_src,
+                              preferred_element_type=jnp.float32)
+            score_bound = jnp.max(s_src_n) + jnp.max(s_dst)
+        # B cancels algebraically (the epilogue divides it back out), so
+        # its cotangent is exactly zero — stop_gradient is semantics,
+        # not an approximation
+        b = jax.lax.stop_gradient(score_bound)
+        s_dst_eff = s_dst - b
+    else:
+        s_dst_eff = s_dst
     nh8 = _round_up(nh, 8)
     h8, a_pad, base, nh8, nhfl, n_rows = _v7_prep(
         h_flat, a_src, tile_base, nh, f, window)
@@ -1455,34 +1560,57 @@ def _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
     with_dropout = drop_mask is not None
     e7 = jnp.int32(senders.shape[0])
     out, denom, cap, code, comb = _forward_v6(
-        h8, meta, a_pad, s_dst, base, receivers, e7, num_nodes,
+        h8, meta, a_pad, s_dst_eff, base, receivers, e7, num_nodes,
         nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
         interpret=interpret, with_dropout=with_dropout,
-        block_base=block_base, tile_ptr=tile_ptr, wb=wb)
-    return out, (h8, meta, a_pad, s_dst, base, cap, code, senders,
+        block_base=block_base, tile_ptr=tile_ptr, wb=wb, sweep1=sweep1)
+    epsp = None
+    if sweep1:
+        # out/denom are UNNORMALISED [num | den]; cap is cap' = max of
+        # the B-shifted raw. Normalise here: the +eps of the reference
+        # softmax scales to eps' = eps*exp(slope*cap') in B-shifted
+        # space (exact algebra — docstring of _kernel_v6).
+        epsp = eps * jnp.exp(slope * cap)
+        inv = jnp.where(denom > 0.0, 1.0 / (denom + epsp), 0.0)
+        out = (out.reshape(num_nodes, nh, f)
+               * inv[:, :, None]).reshape(num_nodes, nh * f)
+    return out, (h8, meta, a_pad, s_dst_eff, base, cap, code, senders,
                  receivers, denom, out, with_dropout, h_flat.shape[0],
-                 block_base, tile_ptr, comb)
+                 block_base, tile_ptr, comb, sweep1, epsp)
 
 
 def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
               interpret, dmax, res, g):
     (h8, meta, a_pad, s_dst, base, cap, code, senders, receivers,
-     denom, out, with_dropout, n_orig, block_base, tile_ptr, comb) = res
+     denom, out, with_dropout, n_orig, block_base, tile_ptr, comb,
+     sweep1, epsp) = res
     e = receivers.shape[0]
     nh8 = _round_up(nh, 8)
+    # sweep1: the kernel's SMEM scalar slot carries eps' (effective
+    # epilogue eps) instead of the cap, and denom is the unnormalised
+    # den' — see backward_v6 docstring
+    scalar = epsp if sweep1 else cap
     d_table, d_drop_t, d_sdst_t, d_apad, d_cap = backward_v6(
-        h8, meta, a_pad, s_dst, cap, base, receivers, jnp.int32(e), g,
-        out, denom, num_nodes, nh, f, eps=eps, slope=slope, eb=eb,
+        h8, meta, a_pad, s_dst, scalar, base, receivers, jnp.int32(e),
+        g, out, denom, num_nodes, nh, f, eps=eps, slope=slope, eb=eb,
         nb=nb, window=window, with_dropout=with_dropout,
         interpret=interpret, block_base=block_base, tile_ptr=tile_ptr,
-        wb=wb, comb=comb, dmax=dmax)
+        wb=wb, comb=comb, dmax=dmax, sweep1=sweep1)
     d_h_flat = d_table[:n_orig, :nh * f]
     d_a_src = d_apad[:nh * f, :nh]
     d_s_dst = d_sdst_t[:nh].T[:num_nodes]
     d_drop = d_drop_t[:nh, :e].T if with_dropout else None
 
-    # cap chain: identical to _fgw_bwd (layout-order senders/receivers)
-    dc = d_cap[0, 0]
+    # cap chain: route the cap cotangent to the argmax (edge, head).
+    # sweep1: the cap enters only through eps' = eps*exp(slope*cap') in
+    # the XLA epilogue out = num/(den+eps'), so
+    # d(cap') = sum_nh [ (sum_f g*out) * (-inv) ] * slope*eps'.
+    if sweep1:
+        inv = jnp.where(denom > 0.0, 1.0 / (denom + epsp), 0.0)
+        gout_h = jnp.sum((g * out).reshape(num_nodes, nh, f), axis=2)
+        dc = -slope * epsp * jnp.sum(gout_h * inv)
+    else:
+        dc = d_cap[0, 0]
     eidx = code // nh8
     hidx = code % nh8
     src_star = jnp.take(senders, eidx)
@@ -1493,7 +1621,7 @@ def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
     d_a_src = d_a_src.at[:, hidx].add(dc * hrow)
     d_s_dst = d_s_dst.at[dst_star, hidx].add(dc)
     return (d_h_flat, d_a_src, d_s_dst, d_drop, None, None, None, None,
-            None)
+            None, None)
 
 
 fused_gat_window_v7.defvjp(_fgw7_fwd, _fgw7_bwd)

@@ -237,7 +237,7 @@ def test_v7_matches_oracle(with_dropout, nh, f):
 
     def lv7(*a):
         o = fused_gat_window_v7(*a, bl.send, bl.recv, bl.base,
-                                bl.tile_ptr, bl.tile_base, n, nh, f,
+                                bl.tile_ptr, bl.tile_base, None, n, nh, f,
                                 bl.window, bl.wb, 1e-8, 0.01, bl.eb,
                                 bl.nb, True, bl.dmax)
         return jnp.sum(jnp.sin(o)), o
@@ -298,7 +298,8 @@ def test_v7_global_stream_dmak_edges(dmak, monkeypatch):
 
     def lv7(h_, a_, s_):
         o = fused_gat_window_v7(h_, a_, s_, None, bl.send, bl.recv,
-                                bl.base, bl.tile_ptr, bl.tile_base, n,
+                                bl.base, bl.tile_ptr, bl.tile_base,
+                                None, n,
                                 nh, f, bl.window, bl.wb, 1e-8, 0.01,
                                 bl.eb, bl.nb, True, bl.dmax)
         return jnp.sum(jnp.sin(o)), o
@@ -387,8 +388,9 @@ def test_v7_sliding_writeback_matches_rmw():
         def fn(h_, a_, s_):
             o = fused_gat_window_v7(h_, a_, s_, None, bl.send, bl.recv,
                                     bl.base, bl.tile_ptr, bl.tile_base,
-                                    n, nh, f, bl.window, bl.wb, 1e-8,
-                                    0.01, bl.eb, bl.nb, True, dmax)
+                                    None, n, nh, f, bl.window, bl.wb,
+                                    1e-8, 0.01, bl.eb, bl.nb, True,
+                                    dmax)
             return jnp.sum(jnp.sin(o)), o
         return jax.value_and_grad(fn, argnums=(0, 1, 2), has_aux=True)(
             h, a_src, s_dst)
