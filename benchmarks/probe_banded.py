@@ -26,13 +26,17 @@ def main() -> None:
     # sets GAT_TPU_V7_ABLATE=onehot,gather (profiling-only: results are
     # WRONG under ablation; only the timing delta is meaningful)
     for case in os.environ.get("GAT_TPU_PROBE_CASES", "auto,0").split(","):
-        v6, _, abl = case.partition("/")
+        parts = case.split("/")
+        v6 = parts[0]
+        abl = parts[1] if len(parts) > 1 else ""
+        v10 = parts[2] if len(parts) > 2 else "1"
         os.environ["GAT_TPU_V6"] = v6
         os.environ["GAT_TPU_V7_ABLATE"] = abl.replace("+", ",")
+        os.environ["GAT_TPU_V10"] = v10
         dt = bench.measure_train_step(cfg, graph, task, lr, l2,
                                       inner, iters)
         print(json.dumps({
-            "v6": v6, "ablate": abl,
+            "v6": v6, "ablate": abl, "v10": v10,
             "ms_per_step": round(dt * 1e3, 4),
             "edges_per_s": round(cfg.num_layers * e_real / dt, 1),
         }), flush=True)

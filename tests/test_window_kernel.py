@@ -401,3 +401,45 @@ def test_v7_sliding_writeback_matches_rmw():
     for a, b, nm in zip(g_s, g_r, ("h", "a_src", "s_dst")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=nm)
+
+
+def test_v10_single_sweep_matches_two_phase(monkeypatch):
+    """The v10 single-sweep forward (merged cap+attention, XLA-epilogue
+    normalisation) vs the legacy 2-phase mode: same math up to the
+    1-ulp-class rounding of the deferred normalisation; gradients
+    (h, a_src, s_dst) must agree too, including the cap's argmax chain
+    (v10 derives d(cap) from the eps' epilogue in closed form)."""
+    os.environ["GAT_TPU_V6_DTYPE"] = "float32"
+    from gat_pytorch_tpu.ops.pallas.segment_attention_window import (
+        fused_gat_window_v7)
+    g, rng = _v7_graph(3)
+    bl = g.block_layout
+    n = g.num_nodes
+    nh, f = 4, 8
+    h = jnp.asarray((rng.normal(size=(n, nh * f)) * 0.3).astype(np.float32))
+    a_src = jnp.asarray((rng.normal(size=(nh * f, nh))
+                         / np.sqrt(nh * f)).astype(np.float32))
+    s_dst = jnp.asarray((rng.normal(size=(n, nh)) * 0.3).astype(np.float32))
+
+    def run():
+        def fn(h_, a_, s_):
+            o = fused_gat_window_v7(h_, a_, s_, None, bl.send, bl.recv,
+                                    bl.base, bl.tile_ptr, bl.tile_base,
+                                    None, n, nh, f, bl.window, bl.wb,
+                                    1e-8, 0.01, bl.eb, bl.nb, True,
+                                    bl.dmax)
+            return jnp.sum(jnp.sin(o)), o
+        return jax.value_and_grad(fn, argnums=(0, 1, 2), has_aux=True)(
+            h, a_src, s_dst)
+
+    monkeypatch.setenv("GAT_TPU_V10", "1")
+    (_, o1), g1 = run()
+    monkeypatch.setenv("GAT_TPU_V10", "0")
+    (_, o0), g0 = run()
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               rtol=1e-5, atol=1e-6)
+    for a, b, nm in zip(g1, g0, ("h", "a_src", "s_dst")):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=1e-5, err_msg=nm)
