@@ -902,6 +902,11 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     d_den = -outg_h * inv_d
+    # loop-invariant: hoisted out of the per-block body (Mosaic does
+    # not hoist out of fori_loop bodies; the concat is a copy pass)
+    payload_tile = jnp.concatenate([g_t[:], inv_d, d_den], axis=0)
+    dt_pay = _v6_dtype()
+    payload_tile_dt = payload_tile.astype(dt_pay)
 
     dm_on = "dmam" not in ablate
     dw_on = "dmaw" not in ablate
@@ -1122,7 +1127,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                 preferred_element_type=jnp.float32)         # (NHFL, EB)
         h_t = gathered_t[:nhf8]
 
-        payload = jnp.concatenate([g_t[:], inv_d, d_den], axis=0)
+        payload = payload_tile
         if "payload" in ablate:
             payload_e = jnp.zeros((payload.shape[0], eb), jnp.float32)
         elif v7:
@@ -1133,7 +1138,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             # unchanged. f32 payload matmuls measured ~7 ms of the
             # banded 5M step (docs/PERF.md round-2-resume ablations).
             payload_e = jax.lax.dot_general(
-                payload.astype(dt), onehot_dst.astype(dt),
+                payload_tile_dt, onehot_dst.astype(dt),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         else:
