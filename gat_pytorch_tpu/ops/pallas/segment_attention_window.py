@@ -349,51 +349,20 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
             s_src_blk = jnp.zeros((nh8, wb), jnp.float32)
         return blk_t, s_src_blk, (base_i + off).astype(jnp.float32), wb
 
-    dt_k = _v6_dtype()
-
-    def _hilo(x):
-        """Exact-enough bf16 split of a small f32 score operand:
-        x == hi + lo + O(2^-18 |x|). Lets the score gathers ride the dt
-        one-hots (two skinny MXU dots, f32 accumulation) instead of
-        requiring a SECOND, f32 build of each one-hot — a full-array
-        VPU pass per block that the round-3 ablation put at ~5 ms per
-        instance on the banded 5M step."""
-        hi = x.astype(jnp.bfloat16)
-        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return hi, lo
-
-    def _score_dot(tab, oh, contract):
-        """(NH8, K) f32 score table x (K, EB)-ish dt one-hot -> f32.
-        dt==f32 keeps the single exact dot (the parity test mode)."""
-        if dt_k == jnp.float32:
-            return jax.lax.dot_general(
-                tab, oh, contract, preferred_element_type=jnp.float32)
-        hi, lo = _hilo(tab)
-        return (jax.lax.dot_general(
-                    hi, oh, contract, preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(
-                    lo, oh, contract,
-                    preferred_element_type=jnp.float32))
-
     def edge_inputs(meta, b):
         start = pl.multiple_of(lo + b * eb, eb)
         recv_at = nh8 if with_dropout else 0
         recv_row = meta[recv_at:recv_at + 1, :]             # (1, EB)
         src_row = meta[recv_at + 1:recv_at + 2, :]          # (1, EB)
         wt_blk, ss_win, wrow0, wn = block_window(b)
-        # sweep1 builds the one-hots ONCE, directly in the contraction
-        # dtype (single fused cmp+select pass each); the f32 builds (or
-        # casts — a cast is a full-array pass too) only existed for the
-        # score matmuls, which _score_dot handles on the dt one-hots
-        oh_t = dt_k if sweep1 else jnp.float32
         if "onehot" in ablate:
-            onehot_dst = jnp.full((nb, eb), 1e-3, oh_t)
-            onehot_w = jnp.full((wn, eb), 1e-3, oh_t)
+            onehot_dst = jnp.full((nb, eb), 1e-3, jnp.float32)
+            onehot_w = jnp.full((wn, eb), 1e-3, jnp.float32)
         elif v7:
             onehot_dst = ((recv_row - (ti * nb).astype(jnp.float32))
-                          == rows_nb_f).astype(oh_t)         # (NB, EB)
+                          == rows_nb_f).astype(jnp.float32)  # (NB, EB)
             onehot_w = ((src_row - wrow0)
-                        == rows_wb_f).astype(oh_t)           # (WN, EB)
+                        == rows_wb_f).astype(jnp.float32)    # (WN, EB)
         else:
             rows = (ti * nb
                     + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
@@ -406,11 +375,6 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         if "scores" in ablate:
             s_src = jnp.zeros((nh8, eb), jnp.float32)
             s_dst_e = jnp.zeros((nh8, eb), jnp.float32)
-        elif sweep1:
-            s_src = _score_dot(ss_win, onehot_w,
-                               (((1,), (0,)), ((), ())))     # (NH8, EB)
-            s_dst_e = _score_dot(s_dst_ref[:], onehot_dst,
-                                 (((1,), (0,)), ((), ())))   # (NH8, EB)
         else:
             s_src = jax.lax.dot_general(
                 ss_win, onehot_w, (((1,), (0,)), ((), ())),
@@ -501,7 +465,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                 gathered_t = jnp.zeros((nhfl, eb), jnp.float32)
             else:
                 gathered_t = jax.lax.dot_general(
-                    _wsl.astype(dt), onehot_w,
+                    _wsl.astype(dt), onehot_w.astype(dt),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)     # (NHFL, EB)
             h_t = gathered_t[:nhf8]
@@ -515,19 +479,13 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                     expander, num_t, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)     # (NHF8, EB)
             weighted_t = h_t * num_wide
+            combined = jnp.concatenate([weighted_t, ex], axis=0
+                                       ).astype(dt)
             if "accdot" not in ablate:
-                # two dots instead of concat+dot: the (NHF8+NH8, EB)
-                # concatenate is a full-array copy pass per block, and
-                # the split keeps the big dot's M at the 128-row MXU
-                # granularity
-                acc_ref[:nhf8, :] += jax.lax.dot_general(
-                    weighted_t.astype(dt), onehot_dst,
+                acc_ref[:] += jax.lax.dot_general(
+                    combined, onehot_dst.astype(dt),
                     (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)     # (NHF8, NB)
-                acc_ref[nhf8:, :] += jax.lax.dot_general(
-                    ex.astype(dt), onehot_dst,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)     # (NH8, NB)
+                    preferred_element_type=jnp.float32)  # (NHF8+NH8, NB)
 
         return (jnp.maximum(vmax, bm),
                 jnp.where(bm > vmax, bcode, tie))

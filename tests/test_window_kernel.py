@@ -443,58 +443,3 @@ def test_v10_single_sweep_matches_two_phase(monkeypatch):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    rtol=0, atol=1e-5, err_msg=nm)
-
-
-def test_v7_bf16_hilo_scores_close(monkeypatch):
-    """v10 single-sweep with the DEFAULT bf16 contraction dtype: the
-    score gathers ride the bf16 one-hots via an exact-enough hi/lo
-    split of the f32 score operands (error ~2^-18 per term — far below
-    the bf16 payload-gather rounding this mode already concedes), so
-    results must sit within the payload-rounding envelope of the f32
-    oracle, not a score-rounding one."""
-    monkeypatch.delenv("GAT_TPU_V6_DTYPE", raising=False)  # bf16 default
-    monkeypatch.setenv("GAT_TPU_V10", "1")
-    from gat_pytorch_tpu.ops.pallas.segment_attention_window import (
-        fused_gat_window_v7)
-    g, rng = _v7_graph(2)
-    bl = g.block_layout
-    n = g.num_nodes
-    nh, f = 8, 16
-    h = jnp.asarray((rng.normal(size=(n, nh * f)) * 0.3).astype(np.float32))
-    a_src = jnp.asarray((rng.normal(size=(nh * f, nh))
-                         / np.sqrt(nh * f)).astype(np.float32))
-    s_dst = jnp.asarray((rng.normal(size=(n, nh)) * 0.3).astype(np.float32))
-    s7, r7 = np.asarray(bl.send), np.asarray(bl.recv)
-    real = np.flatnonzero(r7 >= 0)
-    sd, rc = jnp.asarray(s7[real]), jnp.asarray(r7[real])
-
-    def lv7(h_, a_, s_):
-        o = fused_gat_window_v7(h_, a_, s_, None, bl.send, bl.recv,
-                                bl.base, bl.tile_ptr, bl.tile_base,
-                                None, n, nh, f, bl.window, bl.wb,
-                                1e-8, 0.01, bl.eb, bl.nb, True, bl.dmax)
-        return jnp.sum(jnp.sin(o)), o
-
-    def lref(h_, a_, s_):
-        raw = jnp.take(h_, sd, axis=0) @ a_ + jnp.take(s_, rc, axis=0)
-        pre = raw - jnp.max(raw)
-        ex = jnp.exp(jnp.where(pre > 0, pre, 0.01 * pre))
-        den = jax.ops.segment_sum(ex, rc, num_segments=n)
-        w = (jnp.take(h_, sd, axis=0).reshape(-1, nh, f)
-             * ex[:, :, None])
-        agg = jax.ops.segment_sum(w, rc, num_segments=n)
-        inv = jnp.where(den > 0, 1.0 / (den + 1e-8), 0.0)
-        o = (agg * inv[:, :, None]).reshape(n, nh * f)
-        return jnp.sum(jnp.sin(o)), o
-
-    (_, o7), g7 = jax.value_and_grad(lv7, argnums=(0, 1, 2),
-                                     has_aux=True)(h, a_src, s_dst)
-    (_, oo), go = jax.value_and_grad(lref, argnums=(0, 1, 2),
-                                     has_aux=True)(h, a_src, s_dst)
-    np.testing.assert_allclose(np.asarray(o7), np.asarray(oo),
-                               rtol=0, atol=5e-2)
-    for a, b, nm in zip(g7, go, ("h", "a_src", "s_dst")):
-        scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
-        np.testing.assert_allclose(np.asarray(a) / scale,
-                                   np.asarray(b) / scale,
-                                   rtol=0, atol=2e-2, err_msg=nm)
