@@ -32,7 +32,7 @@ def run_mode(merged: str, inputs, meta):
 
     def loss(hh, aa, ss, dd):
         o = fsa.fused_gat_table_autocap(
-            hh, aa, ss, dd, sd, rc, od, er, n, nh, f, 1e-8, slope,
+            hh, aa, ss, dd, sd, rc, od, er, None, n, nh, f, 1e-8, slope,
             256, 128, False)
         return jnp.sum(jnp.sin(o)), o
 

@@ -62,7 +62,7 @@ def run_case(num_nodes, num_edges, nh, f, grad, iters=5, eb=None, nb=None):
     def op(h, a_src, s_dst):
         out = fsa.fused_gat_table_autocap(
             h, a_src, s_dst, None, send_d, recv_d, order_d, e_real,
-            num_nodes, nh, f, 1e-8, 0.01, eb, nb, interp)
+            None, num_nodes, nh, f, 1e-8, 0.01, eb, nb, interp)
         return jnp.sum(out)
 
     if grad:

@@ -89,7 +89,7 @@ def run_case(num_nodes, num_edges, nh, f, backend, grad, band, iters=5):
     def op(hh, aa, ss):
         if backend == "v5":
             out = fsa.fused_gat_table_autocap(
-                hh, aa, ss, None, send_d, recv_d, order_d, er,
+                hh, aa, ss, None, send_d, recv_d, order_d, er, None,
                 num_nodes, nh, f, 1e-8, 0.01, eb, nb, interp)
         else:
             out = fsw.fused_gat_window(

@@ -449,8 +449,14 @@ def gat_layer_apply(params: Params,
         from ..utils.platform import is_tpu_backend
         interpret = not is_tpu_backend()
         a_src, a_dst = _split_attention_map(params["a"], nh, f)
-        s_dst_n = jnp.dot(h_flat, a_dst,
-                          preferred_element_type=jnp.float32)
+        # one widened MXU call for both score tables: s_dst for the op,
+        # s_src only for the v10 single-sweep score bound (stop_gradient
+        # — the bound cancels algebraically in the op's epilogue)
+        s_both = jnp.dot(h_flat, jnp.concatenate([a_src, a_dst], 1),
+                         preferred_element_type=jnp.float32)
+        s_dst_n = s_both[:, nh:]
+        bound = jax.lax.stop_gradient(
+            jnp.max(s_both[:, :nh]) + jnp.max(s_dst_n))
         drop_mask = None
         if training and cfg.dropout > 0.0:
             if rng is None:
@@ -468,7 +474,7 @@ def gat_layer_apply(params: Params,
         v5_nb = int(_os.environ.get("GAT_TPU_V5_NB", v5_nb))
         out = fsa.fused_gat_table_autocap(
             h_flat, a_src, s_dst_n, drop_mask, senders, receivers,
-            src_order, e_real, num_nodes, nh, f, 1e-8, cfg.slope,
+            src_order, e_real, bound, num_nodes, nh, f, 1e-8, cfg.slope,
             v5_eb, v5_nb, interpret)
         if cfg.concat:
             out = out.reshape(num_nodes, nh * f)

@@ -1254,7 +1254,7 @@ def _kernel_v5_auto(pref_ref,          # (T+2,) int32: tile offsets | e_real
                     hbuf, mbuf, sems, capacc, codeacc,
                     *, eb: int, nb: int, nh: int, f: int, nh8: int,
                     nhf8: int, nhfl: int, eps: float, slope: float,
-                    with_dropout: bool):
+                    with_dropout: bool, sweep1: bool = False):
     """Merged autocap forward: ONE launch instead of cap-kernel + main
     kernel. grid = (2T,): tiles [0, T) stream the edge blocks computing
     the running global (max, argmax-code) of the raw logits into
@@ -1263,11 +1263,23 @@ def _kernel_v5_auto(pref_ref,          # (T+2,) int32: tile offsets | e_real
     proven on-chip by the v6 windowed kernel
     (segment_attention_window._kernel_v6). Saves two Mosaic launches +
     the XLA cap-reduction glue per layer (the Cora-scale step is
-    launch-bound — docs/PERF.md round 3 profile)."""
+    launch-bound — docs/PERF.md round 3 profile).
+
+    sweep1 (v10): SINGLE-SWEEP forward, grid = (T,). The pre-LeakyReLU
+    global cap makes every capped logit <= 0, so LeakyReLU is affine on
+    the whole reachable domain and exp separates: the same sweep that
+    tracks (max, argmax) accumulates UNNORMALISED num/den with
+    exp(slope*raw') (raw' B-shifted by the caller via s_dst so ex <= 1)
+    and the XLA epilogue divides by (den + eps*exp(slope*cap')). Halves
+    the gathered-row-table stream — v5's dominant traffic — plus the
+    meta reads and one-hot builds (see segment_attention_window
+    ._kernel_v6 for the derivation; parity pinned by the same oracle
+    suite)."""
     i = pl.program_id(0)
-    t = pl.num_programs(0) // 2
+    n_total = pl.num_programs(0)
+    t = n_total if sweep1 else n_total // 2
     ti = jax.lax.rem(i, t)
-    phase = i // t
+    phase = jnp.int32(0) if sweep1 else i // t
     lo = (pref_ref[ti] // eb) * eb
     hi = pref_ref[ti + 1]
     e_real = pref_ref[t + 1]
@@ -1329,7 +1341,8 @@ def _kernel_v5_auto(pref_ref,          # (T+2,) int32: tile offsets | e_real
 
         dma_h(slot, b).wait()
         dma_m(slot, b).wait()
-        (_, _, recv_row, _, s_src, s_dst_e, col) = edge_inputs(slot, b)
+        (hb, meta, recv_row, onehot_t, s_src, s_dst_e, col
+         ) = edge_inputs(slot, b)
         raw = s_src + s_dst_e
         head = jax.lax.broadcasted_iota(jnp.int32, (nh8, eb), 0)
         in_tile = ((recv_row >= ti * nb) & (recv_row < ti * nb + nb))
@@ -1339,6 +1352,27 @@ def _kernel_v5_auto(pref_ref,          # (T+2,) int32: tile offsets | e_real
         bm = jnp.max(masked)
         bcode = jnp.min(jnp.where(masked == bm, code, _I32_MAX))
         tie = jnp.where(bm == vmax, jnp.minimum(bcode, vcode), vcode)
+
+        if sweep1:
+            # single-sweep attention accumulation (see docstring):
+            # UNNORMALISED [num | den], exp of the B-shifted raw
+            h_t = hb.T[:nhf8]
+            ex = jnp.exp(slope * raw)
+            ex = jnp.where(col < e_real, ex, 0.0)           # (NH8, EB)
+            num_t = ex
+            if with_dropout:
+                num_t = num_t * meta[0:nh8, :]
+            num_wide = jax.lax.dot_general(
+                expander, num_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (NHF8, EB)
+            weighted_t = h_t * num_wide
+            dt = _matmul_dtype()
+            combined = jnp.concatenate([weighted_t, ex], axis=0
+                                       ).astype(dt)
+            acc_ref[:] += jax.lax.dot_general(
+                combined, onehot_t.astype(dt), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (NHF8+NH8, NB)
+
         return (jnp.maximum(vmax, bm),
                 jnp.where(bm > vmax, bcode, tie))
 
@@ -1374,8 +1408,9 @@ def _kernel_v5_auto(pref_ref,          # (T+2,) int32: tile offsets | e_real
             preferred_element_type=jnp.float32)     # (NHF8+NH8, NB)
         return 0
 
-    @pl.when(phase == 0)
-    def _():
+    def _phase0():
+        if sweep1:
+            acc_ref[:] = jnp.zeros_like(acc_ref)
         vmax, vcode = jax.lax.fori_loop(
             0, nblocks, cap_body,
             (jnp.float32(NEG_INF), _I32_MAX * jnp.int32(1)))
@@ -1390,8 +1425,7 @@ def _kernel_v5_auto(pref_ref,          # (T+2,) int32: tile offsets | e_real
         capacc[:] = jnp.where(slot00, jnp.maximum(old, vmax), NEG_INF)
         codeacc[:] = jnp.where(slot00, newc, _I32_MAX)
 
-    @pl.when(phase == 1)
-    def _():
+    def _phase1():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         jax.lax.fori_loop(0, nblocks, main_body, 0)
         d = acc_ref[nhf8:, :]
@@ -1401,13 +1435,19 @@ def _kernel_v5_auto(pref_ref,          # (T+2,) int32: tile offsets | e_real
             preferred_element_type=jnp.float32)
         acc_ref[:nhf8, :] = acc_ref[:nhf8, :] * inv_wide
 
+    if sweep1:
+        _phase0()                     # merged: acc is UNNORMALISED
+    else:
+        pl.when(phase == 0)(_phase0)
+        pl.when(phase == 1)(_phase1)
+
     cap_ref[:] = capacc[:]
     code_ref[:] = codeacc[:]
 
 
 def _forward_v5_auto(h_src, meta, a_pad, s_dst, receivers, e_real,
                      num_nodes, nh, f, *, eps, slope, eb, nb, interpret,
-                     with_dropout):
+                     with_dropout, sweep1=False):
     """Merged-cap forward: (out, denom, cap, code) in one launch."""
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
@@ -1423,7 +1463,7 @@ def _forward_v5_auto(h_src, meta, a_pad, s_dst, receivers, e_real,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(2 * t,),
+        grid=(t,) if sweep1 else (2 * t,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # h_src
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # meta
@@ -1451,7 +1491,8 @@ def _forward_v5_auto(h_src, meta, a_pad, s_dst, receivers, e_real,
     )
     kernel = functools.partial(
         _kernel_v5_auto, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
-        nhfl=nhfl, eps=eps, slope=slope, with_dropout=with_dropout)
+        nhfl=nhfl, eps=eps, slope=slope, with_dropout=with_dropout,
+        sweep1=sweep1)
     e = receivers.shape[0]
     acc_t, cap_o, code_o = pl.pallas_call(
         kernel,
@@ -1479,10 +1520,19 @@ def _v5_merged_cap() -> bool:
     return os.environ.get("GAT_TPU_V5_MERGED", "1") != "0"
 
 
+def _v10_sweep1() -> bool:
+    """v10 single-sweep forward gate (same env as the v7 twin —
+    segment_attention_window._v10_sweep1; duplicated to avoid a
+    circular import)."""
+    import os
+    return os.environ.get("GAT_TPU_V10", "1") != "0"
+
+
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16))
 def fused_gat_table_autocap(h_flat, a_src, s_dst, drop_mask,
                             senders, receivers, src_order, e_real,
+                            score_bound,
                             num_nodes: int, nh: int, f: int,
                             eps: float = 1e-8, slope: float = 0.01,
                             eb: int = 256, nb: int = 128,
@@ -1494,50 +1544,80 @@ def fused_gat_table_autocap(h_flat, a_src, s_dst, drop_mask,
     the summed cotangent lands on the one argmax (edge, head) — is two
     one-element scatters chained onto the main backward. Ties resolve
     to the lowest (edge, head) code (jnp.max's VJP splits ties instead;
-    measure-zero on real data)."""
+    measure-zero on real data).
+
+    score_bound: any global scalar >= max raw logit, used by the v10
+    single-sweep mode (GAT_TPU_V10, default on) to keep the uncapped
+    exp <= 1; None computes it from the node score tables."""
     out, _ = _fgta_fwd(h_flat, a_src, s_dst, drop_mask, senders,
-                       receivers, src_order, e_real, num_nodes, nh, f,
+                       receivers, src_order, e_real, score_bound,
+                       num_nodes, nh, f,
                        eps, slope, eb, nb, interpret)
     return out
 
 
 def _fgta_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
-              src_order, e_real, num_nodes, nh, f, eps, slope, eb, nb,
-              interpret):
+              src_order, e_real, score_bound, num_nodes, nh, f, eps,
+              slope, eb, nb, interpret):
+    sweep1 = _v10_sweep1() and _v5_merged_cap()
+    if sweep1:
+        if score_bound is None:
+            s_src_n = jnp.dot(h_flat, a_src,
+                              preferred_element_type=jnp.float32)
+            score_bound = jnp.max(s_src_n) + jnp.max(s_dst)
+        b = jax.lax.stop_gradient(score_bound)
+        s_dst_eff = s_dst - b       # B cancels algebraically (epilogue)
+    else:
+        s_dst_eff = s_dst
     nh8 = _round_up(nh, 8)
     h_src, a_pad, _, _, _ = _v5_operands(
-        h_flat, a_src, s_dst, senders, receivers, e_real, nh, f, eb, nb)
+        h_flat, a_src, s_dst_eff, senders, receivers, e_real, nh, f,
+        eb, nb)
     meta = _pack_meta_v5(drop_mask, receivers, nh8, eb)
     with_dropout = drop_mask is not None
     if _v5_merged_cap():
         out, denom, cap, code = _forward_v5_auto(
-            h_src, meta, a_pad, s_dst, receivers, e_real, num_nodes,
+            h_src, meta, a_pad, s_dst_eff, receivers, e_real, num_nodes,
             nh, f, eps=eps, slope=slope, eb=eb, nb=nb,
-            interpret=interpret, with_dropout=with_dropout)
+            interpret=interpret, with_dropout=with_dropout,
+            sweep1=sweep1)
     else:
-        cap, code = _cap_v5(h_src, meta, a_pad, s_dst, receivers, e_real,
-                            num_nodes, nh, eb=eb, nb=nb,
+        cap, code = _cap_v5(h_src, meta, a_pad, s_dst_eff, receivers,
+                            e_real, num_nodes, nh, eb=eb, nb=nb,
                             interpret=interpret,
                             with_dropout=with_dropout)
         out, denom = _forward_v5(
-            h_src, meta, a_pad, s_dst, cap, receivers, e_real, num_nodes,
-            nh, f, eps=eps, slope=slope, eb=eb, nb=nb, interpret=interpret,
-            with_dropout=with_dropout)
-    return out, (h_src, meta, a_pad, s_dst, cap, code, senders,
-                 receivers, src_order, e_real, denom, out, with_dropout)
+            h_src, meta, a_pad, s_dst_eff, cap, receivers, e_real,
+            num_nodes, nh, f, eps=eps, slope=slope, eb=eb, nb=nb,
+            interpret=interpret, with_dropout=with_dropout)
+    epsp = None
+    if sweep1:
+        # normalise: out/denom are UNNORMALISED [num | den]; the +eps of
+        # the reference softmax scales to eps' = eps*exp(slope*cap') in
+        # B-shifted space (exact algebra — _kernel_v5_auto docstring)
+        epsp = eps * jnp.exp(slope * cap)
+        inv = jnp.where(denom > 0.0, 1.0 / (denom + epsp), 0.0)
+        out = (out.reshape(num_nodes, nh, f)
+               * inv[:, :, None]).reshape(num_nodes, nh * f)
+    return out, (h_src, meta, a_pad, s_dst_eff, cap, code, senders,
+                 receivers, src_order, e_real, denom, out, with_dropout,
+                 sweep1, epsp)
 
 
 def _fgta_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret, res, g):
     from .segment_sum import segment_sum_pallas_rows
     from .segment_attention_bwd import backward_v5
     (h_src, meta, a_pad, s_dst, cap, code, senders, receivers,
-     src_order, e_real, denom, out, with_dropout) = res
+     src_order, e_real, denom, out, with_dropout, sweep1, epsp) = res
     e = receivers.shape[0]
     nh8 = _round_up(nh, 8)
+    # sweep1: the kernel's SMEM scalar carries eps' and denom is the
+    # unnormalised den' (see backward_v5)
+    scalar = epsp if sweep1 else cap
     d_h_rows, d_drop_t, d_sdst_t, d_apad, d_cap = backward_v5(
-        h_src, meta, a_pad, s_dst, cap, receivers, e_real, g, out, denom,
-        num_nodes, nh, f, eps=eps, slope=slope, eb=eb, nb=nb,
-        with_dropout=with_dropout, interpret=interpret)
+        h_src, meta, a_pad, s_dst, scalar, receivers, e_real, g, out,
+        denom, num_nodes, nh, f, eps=eps, slope=slope, eb=eb, nb=nb,
+        with_dropout=with_dropout, interpret=interpret, sweep1=sweep1)
     ext = jnp.arange(e, e + eb, dtype=src_order.dtype)
     g_sorted = jnp.take(d_h_rows, jnp.concatenate([src_order, ext]),
                         axis=0)
@@ -1550,8 +1630,15 @@ def _fgta_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret, res, g):
     d_drop = d_drop_t[:nh, :e].T if with_dropout else None
 
     # cap chain: cap = h[snd*] . a_src[:, h*] + s_dst[rcv*, h*]; route the
-    # (already globally summed) cap cotangent to that one argmax triple
-    dc = d_cap[0, 0]
+    # (already globally summed) cap cotangent to that one argmax triple.
+    # sweep1: the cap enters only through eps' in the XLA epilogue, so
+    # d(cap') is closed-form (see segment_attention_window._fgw7_bwd)
+    if sweep1:
+        inv = jnp.where(denom > 0.0, 1.0 / (denom + epsp), 0.0)
+        gout_h = jnp.sum((g * out).reshape(num_nodes, nh, f), axis=2)
+        dc = -slope * epsp * jnp.sum(gout_h * inv)
+    else:
+        dc = d_cap[0, 0]
     eidx = code // nh8
     hidx = code % nh8
     src_star = jnp.take(senders, eidx)
@@ -1561,7 +1648,8 @@ def _fgta_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret, res, g):
     d_h_flat = d_h_flat.at[src_star].add(dc * acol)
     d_a_src = d_a_src.at[:, hidx].add(dc * hrow)
     d_s_dst = d_s_dst.at[dst_star, hidx].add(dc)
-    return (d_h_flat, d_a_src, d_s_dst, d_drop, None, None, None, None)
+    return (d_h_flat, d_a_src, d_s_dst, d_drop, None, None, None, None,
+            None)
 
 
 fused_gat_table_autocap.defvjp(_fgta_fwd, _fgta_bwd)

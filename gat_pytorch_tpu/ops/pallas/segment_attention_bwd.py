@@ -550,7 +550,12 @@ def _kernel_v5_bwd(pref_ref,
                    sems, wsems, rsems,
                    *, eb: int, nb: int, nh: int, f: int, nh8: int,
                    nhf8: int, nhfl: int, eps: float, slope: float,
-                   with_dropout: bool):
+                   with_dropout: bool, sweep1: bool = False):
+    # sweep1 (v10 single-sweep forward): cap_ref holds eps' =
+    # eps*exp(slope*cap'), denom is the UNNORMALISED den', the raw
+    # scores are B-shifted, and LeakyReLU is its negative branch
+    # everywhere (segment_attention._kernel_v5_auto docstring); the cap
+    # cotangent moves to the XLA epilogue (d_cap output unused).
     i = pl.program_id(0)
     lo = (pref_ref[i] // eb) * eb
     hi = pref_ref[i + 1]
@@ -563,15 +568,15 @@ def _kernel_v5_bwd(pref_ref,
     expander = ((exp_cols // f == exp_rows)
                 & (exp_rows < nh) & (exp_cols < nh * f)).astype(jnp.float32)
 
+    a_src_t = a_src_ref[:].astype(jnp.float32)              # (NHFL, NH8)
+    cap = cap_ref[0, 0]
     d = denom_t[:]
-    inv_d = jnp.where(d > 0.0, 1.0 / (d + eps), 0.0)
+    eps_eff = cap if sweep1 else eps
+    inv_d = jnp.where(d > 0.0, 1.0 / (d + eps_eff), 0.0)
     outg_h = jax.lax.dot_general(
         expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     d_den = -outg_h * inv_d
-
-    a_src_t = a_src_ref[:].astype(jnp.float32)              # (NHFL, NH8)
-    cap = cap_ref[0, 0]
     dsdst_ref[:] = jnp.zeros_like(dsdst_ref)
 
     @pl.when(i == 0)
@@ -647,8 +652,10 @@ def _kernel_v5_bwd(pref_ref,
         s_dst_e = jax.lax.dot_general(
             s_dst_ref[:], onehot_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        pre = (s_src + s_dst_e) - cap
-        lgt = jnp.where(pre > 0.0, pre, slope * pre)
+        raw = s_src + s_dst_e
+        pre = raw if sweep1 else raw - cap
+        lgt = slope * pre if sweep1 else jnp.where(
+            pre > 0.0, pre, slope * pre)
         ex = jnp.exp(lgt)
         col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
         in_range = col < e_real
@@ -677,7 +684,8 @@ def _kernel_v5_bwd(pref_ref,
         if m is not None:
             d_ex = d_ex * m
         d_lg = ex * (d_ex + dden_e)
-        d_pre = jnp.where(pre > 0.0, d_lg, slope * d_lg)
+        d_pre = slope * d_lg if sweep1 else jnp.where(
+            pre > 0.0, d_lg, slope * d_lg)
         d_raw = jnp.where(in_range, d_pre, 0.0)             # (NH8, EB)
 
         # d(h) = feature term + attention term a_src . d_raw
@@ -702,10 +710,12 @@ def _kernel_v5_bwd(pref_ref,
             preferred_element_type=jnp.float32)             # (NHFL, NH8)
         # scalar accumulate via a full-block masked add (Mosaic rejects
         # scalar stores to VMEM; interpret mode tolerates them)
-        slot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
-                  & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-                     == 0))
-        dcap_ref[:] += jnp.where(slot00, -jnp.sum(d_raw), 0.0)
+        if not sweep1:   # sweep1: d(cap) is closed-form in XLA instead
+            slot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                       == 0)
+                      & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                         == 0))
+            dcap_ref[:] += jnp.where(slot00, -jnp.sum(d_raw), 0.0)
 
         dmblk = hdotg * ex * invd_e                         # d_drop (NH8,EB)
 
@@ -750,9 +760,12 @@ def _kernel_v5_bwd(pref_ref,
 def backward_v5(h_src, meta, a_pad, s_dst, cap, receivers, e_real,
                 g, out, denom, num_nodes: int, nh: int, f: int,
                 *, eps: float, slope: float, eb: int, nb: int,
-                with_dropout: bool, interpret: bool):
+                with_dropout: bool, interpret: bool,
+                sweep1: bool = False):
     """Returns (d_h rows (E_cols, NHFL), d_drop (NH8, E_cols),
-    d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128))."""
+    d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128)).
+    sweep1: `cap` holds eps' and `denom` the unnormalised den'
+    (v10 single-sweep forward — _kernel_v5_bwd docstring)."""
     e = receivers.shape[0]
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
@@ -823,7 +836,8 @@ def backward_v5(h_src, meta, a_pad, s_dst, cap, receivers, e_real,
     )
     kernel = functools.partial(
         _kernel_v5_bwd, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
-        nhfl=nhfl, eps=eps, slope=slope, with_dropout=with_dropout)
+        nhfl=nhfl, eps=eps, slope=slope, with_dropout=with_dropout,
+        sweep1=sweep1)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

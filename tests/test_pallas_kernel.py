@@ -334,7 +334,7 @@ def test_v5_autocap_matches_jnp_max_oracle(with_dropout, nh, f, merged,
 
     def auto(hh, aa, ss, dd):
         return fsa.fused_gat_table_autocap(
-            hh, aa, ss, dd, sd, rc, od, er, n, nh, f, 1e-8, slope,
+            hh, aa, ss, dd, sd, rc, od, er, None, n, nh, f, 1e-8, slope,
             256, 128, True)
 
     def oracle(hh, aa, ss, dd):
