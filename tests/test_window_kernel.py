@@ -443,3 +443,34 @@ def test_v10_single_sweep_matches_two_phase(monkeypatch):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    rtol=0, atol=1e-5, err_msg=nm)
+
+
+def test_v10_score_bound_invariance(monkeypatch):
+    """out is algebraically invariant to the score_bound B (the epilogue
+    divides the B-scaling back out, eps term included). A wrong eps'
+    exponent or a missed shift would break this immediately."""
+    os.environ["GAT_TPU_V6_DTYPE"] = "float32"
+    monkeypatch.setenv("GAT_TPU_V10", "1")
+    from gat_pytorch_tpu.ops.pallas.segment_attention_window import (
+        fused_gat_window_v7)
+    g, rng = _v7_graph(2)
+    bl = g.block_layout
+    n = g.num_nodes
+    nh, f = 4, 8
+    h = jnp.asarray((rng.normal(size=(n, nh * f)) * 0.3).astype(np.float32))
+    a_src = jnp.asarray((rng.normal(size=(nh * f, nh))
+                         / np.sqrt(nh * f)).astype(np.float32))
+    s_dst = jnp.asarray((rng.normal(size=(n, nh)) * 0.3).astype(np.float32))
+
+    def run(bound):
+        return fused_gat_window_v7(
+            h, a_src, s_dst, None, bl.send, bl.recv, bl.base,
+            bl.tile_ptr, bl.tile_base, bound, n, nh, f, bl.window,
+            bl.wb, 1e-8, 0.01, bl.eb, bl.nb, True, bl.dmax)
+
+    o_auto = np.asarray(run(None))
+    tight = float(np.max(h @ np.asarray(a_src)) + np.max(np.asarray(s_dst)))
+    for bound in (tight, tight + 7.0, tight + 300.0):
+        o_b = np.asarray(run(jnp.float32(bound)))
+        np.testing.assert_allclose(o_b, o_auto, rtol=2e-5, atol=2e-6,
+                                   err_msg=f"bound={bound}")
