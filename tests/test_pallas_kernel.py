@@ -557,3 +557,36 @@ def test_xla_bwd_fallback_matches_fused(monkeypatch):
     for a, b in zip(g_fused, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_v5_autocap_score_bound_invariance():
+    """v10 single-sweep (v5 family): out is algebraically invariant to
+    the score_bound B — the epilogue divides the B-scaling back out,
+    eps term included (segment_attention._fgta_fwd)."""
+    rng = np.random.default_rng(9)
+    n, e_real, pad, nh, f = 256, 1500, 36, 4, 16
+    e = e_real + pad
+    recv = np.concatenate([np.sort(rng.integers(0, n, e_real)),
+                           np.full(pad, n - 1)]).astype(np.int32)
+    send = np.concatenate([rng.integers(0, n, e_real),
+                           np.full(pad, n - 1)]).astype(np.int32)
+    order = np.argsort(send, kind="stable").astype(np.int32)
+    h = jnp.asarray(rng.normal(size=(n, nh * f)).astype(np.float32))
+    a_src = jnp.asarray((rng.normal(size=(nh * f, nh))
+                         / np.sqrt(nh * f)).astype(np.float32))
+    s_dst = jnp.asarray(rng.normal(size=(n, nh)).astype(np.float32))
+    sd, rc, od = map(jnp.asarray, (send, recv, order))
+    er = jnp.int32(e_real)
+
+    def run(bound):
+        return fsa.fused_gat_table_autocap(
+            h, a_src, s_dst, None, sd, rc, od, er, bound, n, nh, f,
+            1e-8, 0.01, 256, 128, True)
+
+    o_auto = np.asarray(run(None))
+    tight = float(np.max(np.asarray(h) @ np.asarray(a_src))
+                  + np.max(np.asarray(s_dst)))
+    for bound in (tight, tight + 5.0, tight + 200.0):
+        np.testing.assert_allclose(np.asarray(run(jnp.float32(bound))),
+                                   o_auto, rtol=2e-5, atol=2e-6,
+                                   err_msg=f"bound={bound}")
