@@ -226,11 +226,33 @@ def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
     # 512/256 — the static wb is set by sparse-tile outliers, so small
     # blocks only add per-block fixed costs; at eb=1024 the typical
     # block span equals wb.
+    #
+    # SMALL graphs invert the tradeoff: block count is tiny (per-block
+    # fixed costs negligible) while every one-hot build and gather/
+    # scatter contraction scales with slots*(nb+wb) — on Cora, eb=512
+    # halves wb (1024 -> 512) with FEWER slots and measured +14%
+    # (probe_blocks_v9, round 3: 0.3558 -> 0.3114 ms/step). When no
+    # explicit size is given and the graph is small, build both
+    # candidate layouts (host-side, one-time, cheap at this size) and
+    # keep the one with the smaller slot-weighted row cost.
+    explicit = (nb is not None or eb is not None
+                or "GAT_TPU_V7_NB" in os.environ
+                or "GAT_TPU_V7_EB" in os.environ)
     nb = nb or int(os.environ.get("GAT_TPU_V7_NB", "512"))
     eb = eb or int(os.environ.get("GAT_TPU_V7_EB", "1024"))
     if nb % 128 or eb % 128:
         raise ValueError(f"v7 block sizes must be 128-multiples, "
                          f"got nb={nb} eb={eb}")
+    small = num_real_edges <= int(
+        os.environ.get("GAT_TPU_V7_AUTOEB_MAX_E", "500000"))
+    if not explicit and small and eb > 128:
+        a = compute_block_layout(senders, receivers, num_real_edges,
+                                 n_pad, nb=nb, eb=eb)
+        b = compute_block_layout(senders, receivers, num_real_edges,
+                                 n_pad, nb=nb, eb=eb // 2)
+        cost_a = a.send.shape[0] * (a.nb + a.wb)
+        cost_b = b.send.shape[0] * (b.nb + b.wb)
+        return b if cost_b < cost_a else a
 
     s = np.asarray(senders[:num_real_edges], dtype=np.int64)
     r = np.asarray(receivers[:num_real_edges], dtype=np.int64)
