@@ -113,13 +113,15 @@ def roofline_edges_per_s(num_nodes: int, num_edges: int, cfg) -> float:
 
 def roofline_tile_edges_per_s(num_nodes: int, num_edges: int,
                               cfg) -> float:
-    """Achievable-floor edges/s: the idealized model above charges the
-    node->edge crossings at payload bytes, but a random row access on
-    TPU costs a full (8, 128) f32 tile (4 KB) regardless of payload
-    (docs/PERF.md round-2 close). Each layer's step pays two such
-    crossings (forward node->edge gather, backward d_h permute of the
-    row cotangents back to src-sorted order); everything else streams
-    at payload bytes."""
+    """Achievable floor of the RANDOM-ACCESS formulation: the idealized
+    model above charges the node->edge crossings at payload bytes, but
+    a random row access on TPU costs a full (8, 128) f32 tile (4 KB)
+    regardless of payload (docs/PERF.md round-2 close). Each layer's
+    step pays two such crossings (forward node->edge gather, backward
+    d_h permute); everything else streams at payload bytes. The
+    windowed (v6-v9) kernels pay NO random crossings on banded/RCM
+    graphs, so sol_tile > 1 there is expected — it means the design
+    beats the random-access bound, not that the measurement is wrong."""
     bw = hbm_bandwidth_bytes_per_s()
     total = 0.0
     heads = [1] + list(cfg.num_heads_per_layer)
