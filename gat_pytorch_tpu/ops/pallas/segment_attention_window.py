@@ -141,7 +141,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                nhf8: int, nhfl: int, w: int, eps: float, slope: float,
                with_dropout: bool, resident: bool, wb: int = 0,
                dmak: int = 4, ablate: frozenset = frozenset(),
-               sweep1: bool = False):
+               sweep1: bool = False, gstream: bool = False):
     # wb > 0 selects the v7 BLOCK-LOCAL window mode (Graph.block_layout):
     # tile offsets are eb-aligned (no shared overlap blocks) and every
     # edge block's one-hot/gather/scatter contractions run against a
@@ -174,7 +174,16 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
     # real arithmetic; float rounding differs ~1 ulp from the 2-phase
     # form (parity pinned by tests/test_window_kernel.py).
     v7 = wb > 0
-    if v7:
+    gpay_hbm = gbuf = gsems = None
+    if v7 and gstream:
+        # gstream (v11): the gathered bf16 payload rows are ALSO
+        # persisted per group (gpay_hbm (NHFL, C) bf16, gbuf staging) —
+        # a one-hot gather of bf16 values is an exact SELECTION, so the
+        # backward reads bit-identical payloads instead of re-running
+        # its gather contraction and window stream.
+        (comb_hbm, gpay_hbm, wbuf, mbuf, sems, msems, capacc, codeacc,
+         cbuf, rawsems, gbuf, gsems) = rest
+    elif v7:
         # comb_hbm: (MR+NH8, C) combined meta+raw stream (phase 0 writes
         # it, phase 1 and the backward read it — ONE grouped DMA per
         # dmak blocks instead of separate per-block meta and raw
@@ -309,6 +318,13 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                 comb_hbm.at[:, pl.ds(start, geb)], cbuf.at[gg % 2],
                 rawsems.at[gg % 2])
 
+        def dma_gw(gg):
+            # gathered-payload group write (v11 producer)
+            start = pl.multiple_of(gg * geb, eb)
+            return pltpu.make_async_copy(
+                gbuf.at[gg % 2], gpay_hbm.at[:, pl.ds(start, geb)],
+                gsems.at[gg % 2])
+
     if not v7:
         # under the "cap" ablation phase 0 does nothing, so its initial
         # meta DMA must not start either (an unwaited completion would
@@ -413,6 +429,8 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                     @pl.when(gg >= 2)
                     def _():
                         dma_cw(gg - 2).wait()
+                        if gstream:
+                            dma_gw(gg - 2).wait()
 
                     dma_mg(gg).wait()
             meta_v = mbuf[slotg, :, pl.ds(joff, eb)]
@@ -486,6 +504,16 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                     combined, onehot_dst.astype(dt),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (NHF8+NH8, NB)
+            if gstream and dm_on:
+                # v11: persist the gathered rows for the backward. The
+                # bf16 cast is EXACT — a one-hot gather of bf16 inputs
+                # produces bf16-representable f32 values.
+                gbuf[slotg, :, pl.ds(joff, eb)] = gathered_t.astype(
+                    jnp.bfloat16)
+
+                @pl.when((j == dmak - 1) | (g == g_total - 1))
+                def _():
+                    dma_gw(gg).start()
 
         return (jnp.maximum(vmax, bm),
                 jnp.where(bm > vmax, bcode, tie))
@@ -620,10 +648,14 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                 @pl.when(ng_total >= 2)
                 def _():
                     dma_cw(ng_total - 2).wait()
+                    if gstream:
+                        dma_gw(ng_total - 2).wait()
 
                 @pl.when(ng_total >= 1)
                 def _():
                     dma_cw(ng_total - 1).wait()
+                    if gstream:
+                        dma_gw(ng_total - 1).wait()
         # fold this tile's (max, code) into the persistent accumulators
         old = capacc[0, 0]
         oldc = codeacc[0, 0]
@@ -706,7 +738,7 @@ def _v6_prep(h_flat, a_src, senders, receivers, tile_lo, num_nodes,
 def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
                 num_nodes, nh, f, *, eps, slope, eb, nb, window,
                 interpret, with_dropout, block_base=None, tile_ptr=None,
-                wb=0, sweep1=False):
+                wb=0, sweep1=False, gstream=False):
     dmak = _dmak()
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
@@ -746,7 +778,9 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),              # code
         ] + ([pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # comb
-             if wb else []),
+             if wb else [])
+          + ([pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # gpay
+             if gstream else []),
         scratch_shapes=[
             pltpu.VMEM((1 if resident else 2, window, nhfl),
                        h8.dtype),                               # wbuf
@@ -758,13 +792,15 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
             pltpu.VMEM((8, 128), jnp.int32),                    # codeacc
         ] + ([pltpu.VMEM((2, meta.shape[0] + nh8, dmak * eb),
                          jnp.float32),                          # cbuf
-              pltpu.SemaphoreType.DMA((2,))] if wb else []),
+              pltpu.SemaphoreType.DMA((2,))] if wb else [])
+          + ([pltpu.VMEM((2, nhfl, dmak * eb), jnp.bfloat16),   # gbuf
+              pltpu.SemaphoreType.DMA((2,))] if gstream else []),
     )
     kernel = functools.partial(
         _kernel_v6, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
         with_dropout=with_dropout, resident=resident, wb=wb,
-        dmak=dmak, ablate=_ablate(), sweep1=sweep1)
+        dmak=dmak, ablate=_ablate(), sweep1=sweep1, gstream=gstream)
     e = receivers.shape[0]
     outs = pl.pallas_call(
         kernel,
@@ -775,7 +811,10 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
             jax.ShapeDtypeStruct((8, 128), jnp.int32),
         ] + ([jax.ShapeDtypeStruct((meta.shape[0] + nh8, meta.shape[1]),
                                    jnp.float32)]                # comb
-             if wb else []),
+             if wb else [])
+          + ([jax.ShapeDtypeStruct((nhfl, meta.shape[1]),
+                                   jnp.bfloat16)]               # gpay
+             if gstream else []),
         cost_estimate=pl.CostEstimate(
             flops=2 * (e + eb) * (2 * (wb or window) * nh8
                                   + (wb or window) * nhfl
@@ -789,9 +828,10 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
     )(pref, base, bbase, h8, meta, a_pad, s_dst_t)
     acc_t, cap_o, code_o = outs[:3]
     comb = outs[3] if wb else None
+    gpay = outs[4] if gstream else None
     return (acc_t[:nh * f].T[:num_nodes],
             acc_t[nhf8:nhf8 + nh].T[:num_nodes],
-            cap_o[0, 0], code_o[0, 0], comb)
+            cap_o[0, 0], code_o[0, 0], comb, gpay)
 
 
 def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
@@ -811,7 +851,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                    slope: float, with_dropout: bool, resident: bool,
                    wb: int = 0, dmax: int = -1, dmak: int = 4,
                    ablate: frozenset = frozenset(),
-                   sweep1: bool = False):
+                   sweep1: bool = False, gstream: bool = False):
     v7 = wb > 0                       # block-local windows (see _kernel_v6)
     sliding = dmax >= 0               # sliding d(h) accumulator (v7 only)
     # v7 runs the v8 raw-score pipeline: the forward saved a COMBINED
@@ -819,7 +859,13 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
     # matmuls, no separate meta stream, no f32 onehot_w (see
     # _kernel_v6). rest = [comb_hbm?] + outputs + scratch + [cbuf/sems?]
     # + [stage?]
-    if v7:
+    gpay_hbm = gbuf = gsems = None
+    if v7 and gstream:
+        (comb_hbm, gpay_hbm, dtab_hbm, dmeta_hbm, dsdst_ref, dasrc_ref,
+         dcap_ref, wbuf, mbuf, dwin, dmbuf, rwin, rmbuf, sems, msems,
+         wsems, rsems, cbuf, rawsems, gbuf, gsems, *opt) = rest
+        stage = opt[0] if opt else None
+    elif v7:
         (comb_hbm, dtab_hbm, dmeta_hbm, dsdst_ref, dasrc_ref, dcap_ref,
          wbuf, mbuf, dwin, dmbuf, rwin, rmbuf, sems, msems, wsems,
          rsems, cbuf, rawsems, *opt) = rest
@@ -869,8 +915,10 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
     dm_on = "dmam" not in ablate
     dw_on = "dmaw" not in ablate
 
-    if not dw_on:
-        pass                          # profiling: stale wbuf reads
+    if not dw_on or gstream:
+        # gstream (v11): the gathered payloads arrive from the forward's
+        # stream — the backward never reads the node table at all
+        pass
     elif resident:
         # whole-table window: one DMA in, d(h) accumulated fully in VMEM
         # and written back ONCE at the last tile (no per-tile readback)
@@ -974,6 +1022,13 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             return pltpu.make_async_copy(
                 comb_hbm.at[:, pl.ds(start, geb)], cbuf.at[gg % 2],
                 rawsems.at[gg % 2])
+
+        def dma_gr(gg):
+            # gathered-payload group read (v11)
+            start = pl.multiple_of(gg * geb, eb)
+            return pltpu.make_async_copy(
+                gpay_hbm.at[:, pl.ds(start, geb)], gbuf.at[gg % 2],
+                gsems.at[gg % 2])
     else:
         @pl.when(nblocks > 0)
         def _():
@@ -995,12 +1050,18 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                     @pl.when(g == 0)
                     def _():
                         dma_cr(0).start()
+                        if gstream:
+                            dma_gr(0).start()
 
                     @pl.when(gg + 1 < ng_total)
                     def _():
                         dma_cr(gg + 1).start()
+                        if gstream:
+                            dma_gr(gg + 1).start()
 
                     dma_cr(gg).wait()
+                    if gstream:
+                        dma_gr(gg).wait()
             meta = cbuf[slotg, 0:mr, pl.ds(joff, eb)]
             raw = cbuf[slotg, mr:mr + nh8, pl.ds(joff, eb)]
         else:
@@ -1024,8 +1085,20 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         recv_row = meta[recv_at:recv_at + 1, :]
         src_row = meta[recv_at + 1:recv_at + 2, :]
         dt = _v6_dtype()
-        wt_blk, ss_win, wrow0, wn, woff = block_window(
-            b, need_scores=not v7)
+        if gstream:
+            # v11: no wbuf — the gathered payload arrives streamed; only
+            # the dwin slice offset (and the one-hot row origin for the
+            # SCATTER) are needed from the layout metadata
+            goff_w = lo // eb + b
+            woff = jnp.minimum(jnp.maximum(bbase_ref[goff_w] - base, 0),
+                               w - wb)
+            woff = pl.multiple_of((woff // 8) * 8, 8)
+            wt_blk, ss_win = None, None
+            wrow0 = (base + woff).astype(jnp.float32)
+            wn = wb
+        else:
+            wt_blk, ss_win, wrow0, wn, woff = block_window(
+                b, need_scores=not v7)
         if "onehot" in ablate:
             onehot_dst = jnp.full((nb, eb), 1e-3,
                                   dt if v7 else jnp.float32)
@@ -1078,6 +1151,9 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
 
         if "gather" in ablate:
             gathered_t = jnp.zeros((nhfl, eb), jnp.float32)
+        elif gstream:
+            gathered_t = gbuf[slotg, :, pl.ds(joff, eb)
+                              ].astype(jnp.float32)         # (NHFL, EB)
         else:
             gathered_t = jax.lax.dot_general(
                 wt_blk.astype(dt), onehot_w_dt,
@@ -1276,7 +1352,8 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
                 *, eps: float, slope: float, eb: int, nb: int,
                 window: int, with_dropout: bool, interpret: bool,
                 block_base=None, tile_ptr=None, wb: int = 0,
-                comb=None, dmax: int = -1, sweep1: bool = False):
+                comb=None, dmax: int = -1, sweep1: bool = False,
+                gpay=None):
     """Returns (d_table (N_rows, NHFL), d_drop (NH8, E_cols),
     d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128)).
     sweep1: `cap` holds eps' = eps*exp(slope*cap') and `denom` the
@@ -1291,6 +1368,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
     n_rows = h8.shape[0]
     e_cols = meta.shape[1]
     resident = window == n_rows
+    gstream = gpay is not None        # v11 gathered-payload stream
     # sliding d(h) accumulator: valid when the layout certified monotone
     # tile bases (dmax >= 0) and the flush slab stays inside the table
     # (dmax <= window implies no inter-window gaps and in-bounds slabs)
@@ -1339,7 +1417,9 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
             pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),              # cap
         ] + ([pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # comb
-             if wb else []),
+             if wb else [])
+          + ([pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]  # gpay
+             if gstream else []),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # d_table
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # d_drop
@@ -1351,8 +1431,9 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
                          memory_space=pltpu.VMEM),              # d_cap
         ),
         scratch_shapes=[
-            pltpu.VMEM((1 if resident else 2, window, nhfl),
-                       h8.dtype),                               # wbuf
+            pltpu.VMEM((1, 8, nhfl) if gstream else
+                       (1 if resident else 2, window, nhfl),
+                       h8.dtype),           # wbuf (unused under v11)
             pltpu.VMEM((2, meta.shape[0], eb), jnp.float32),    # mbuf
             pltpu.VMEM((window + (dmax if sliding else 0), nhfl),
                        jnp.float32),                            # dwin
@@ -1368,6 +1449,8 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
         ] + ([pltpu.VMEM((2, meta.shape[0] + nh8, dmak * eb),
                          jnp.float32),                          # cbuf
               pltpu.SemaphoreType.DMA((2,))] if wb else [])
+          + ([pltpu.VMEM((2, nhfl, dmak * eb), jnp.bfloat16),   # gbuf
+              pltpu.SemaphoreType.DMA((2,))] if gstream else [])
           + ([pltpu.VMEM((dmax, nhfl), jnp.float32)]            # stage
              if sliding else []),
     )
@@ -1376,7 +1459,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
         with_dropout=with_dropout, resident=resident, wb=wb,
         dmax=dmax if sliding else -1, dmak=dmak, ablate=_ablate(),
-        sweep1=sweep1)
+        sweep1=sweep1, gstream=gstream)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1401,7 +1484,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
         interpret=interpret,
     )(pref, base, bbase, h8, meta, zeros_h, zeros_m, g_t, out_t, denom_t,
       s_dst_t, a_pad, cap.reshape(1, 1),
-      *([comb] if wb else []))
+      *(([comb] if wb else []) + ([gpay] if gstream else [])))
 
 
 @functools.partial(jax.custom_vjp,
@@ -1437,7 +1520,7 @@ def _fgw_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
         nh, f, eb, nb, window)
     meta = _pack_meta_v6(drop_mask, receivers, senders, nh8, eb)
     with_dropout = drop_mask is not None
-    out, denom, cap, code, _raw = _forward_v6(
+    out, denom, cap, code, _raw, _gp = _forward_v6(
         h8, meta, a_pad, s_dst, base, receivers, e_real, num_nodes,
         nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
         interpret=interpret, with_dropout=with_dropout)
@@ -1564,11 +1647,19 @@ def _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
                          _dmak() * eb)
     with_dropout = drop_mask is not None
     e7 = jnp.int32(senders.shape[0])
-    out, denom, cap, code, comb = _forward_v6(
+    # v11 gathered-payload stream: only meaningful in the bf16
+    # contraction mode (where it is bit-identical to the backward's
+    # own gather — exact bf16 selection); the f32 parity mode keeps the
+    # recompute. GAT_TPU_V11=0 disables.
+    import os as _os
+    gstream = (sweep1 and _v6_dtype() == jnp.bfloat16
+               and _os.environ.get("GAT_TPU_V11", "1") != "0")
+    out, denom, cap, code, comb, gpay = _forward_v6(
         h8, meta, a_pad, s_dst_eff, base, receivers, e7, num_nodes,
         nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
         interpret=interpret, with_dropout=with_dropout,
-        block_base=block_base, tile_ptr=tile_ptr, wb=wb, sweep1=sweep1)
+        block_base=block_base, tile_ptr=tile_ptr, wb=wb, sweep1=sweep1,
+        gstream=gstream)
     epsp = None
     if sweep1:
         # out/denom are UNNORMALISED [num | den]; cap is cap' = max of
@@ -1581,14 +1672,14 @@ def _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
                * inv[:, :, None]).reshape(num_nodes, nh * f)
     return out, (h8, meta, a_pad, s_dst_eff, base, cap, code, senders,
                  receivers, denom, out, with_dropout, h_flat.shape[0],
-                 block_base, tile_ptr, comb, sweep1, epsp)
+                 block_base, tile_ptr, comb, sweep1, epsp, gpay)
 
 
 def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
               interpret, dmax, res, g):
     (h8, meta, a_pad, s_dst, base, cap, code, senders, receivers,
      denom, out, with_dropout, n_orig, block_base, tile_ptr, comb,
-     sweep1, epsp) = res
+     sweep1, epsp, gpay) = res
     e = receivers.shape[0]
     nh8 = _round_up(nh, 8)
     # sweep1: the kernel's SMEM scalar slot carries eps' (effective
@@ -1600,7 +1691,7 @@ def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
         g, out, denom, num_nodes, nh, f, eps=eps, slope=slope, eb=eb,
         nb=nb, window=window, with_dropout=with_dropout,
         interpret=interpret, block_base=block_base, tile_ptr=tile_ptr,
-        wb=wb, comb=comb, dmax=dmax, sweep1=sweep1)
+        wb=wb, comb=comb, dmax=dmax, sweep1=sweep1, gpay=gpay)
     d_h_flat = d_table[:n_orig, :nh * f]
     d_a_src = d_apad[:nh * f, :nh]
     d_s_dst = d_sdst_t[:nh].T[:num_nodes]

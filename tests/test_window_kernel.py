@@ -480,3 +480,96 @@ def test_v10_score_bound_invariance(monkeypatch):
         o_b = np.asarray(run(jnp.float32(bound)))
         np.testing.assert_allclose(o_b, o_auto, rtol=2e-5, atol=2e-6,
                                    err_msg=f"bound={bound}")
+
+
+def test_v7_bf16_default_mode_close(monkeypatch):
+    """v10+v11 in the DEFAULT bf16 contraction mode (gathered-payload
+    stream active: the backward consumes the forward's streamed bf16
+    rows instead of re-gathering — an exact bf16 selection either way):
+    fwd + grads must sit within the bf16 payload-rounding envelope of
+    the f32 oracle."""
+    monkeypatch.delenv("GAT_TPU_V6_DTYPE", raising=False)  # bf16 default
+    monkeypatch.setenv("GAT_TPU_V10", "1")
+    from gat_pytorch_tpu.ops.pallas.segment_attention_window import (
+        fused_gat_window_v7)
+    g, rng = _v7_graph(2)
+    bl = g.block_layout
+    n = g.num_nodes
+    nh, f = 8, 16
+    h = jnp.asarray((rng.normal(size=(n, nh * f)) * 0.3).astype(np.float32))
+    a_src = jnp.asarray((rng.normal(size=(nh * f, nh))
+                         / np.sqrt(nh * f)).astype(np.float32))
+    s_dst = jnp.asarray((rng.normal(size=(n, nh)) * 0.3).astype(np.float32))
+    s7, r7 = np.asarray(bl.send), np.asarray(bl.recv)
+    real = np.flatnonzero(r7 >= 0)
+    sd, rc = jnp.asarray(s7[real]), jnp.asarray(r7[real])
+
+    def lv7(h_, a_, s_):
+        o = fused_gat_window_v7(h_, a_, s_, None, bl.send, bl.recv,
+                                bl.base, bl.tile_ptr, bl.tile_base,
+                                None, n, nh, f, bl.window, bl.wb,
+                                1e-8, 0.01, bl.eb, bl.nb, True, bl.dmax)
+        return jnp.sum(jnp.sin(o)), o
+
+    def lref(h_, a_, s_):
+        raw = jnp.take(h_, sd, axis=0) @ a_ + jnp.take(s_, rc, axis=0)
+        pre = raw - jnp.max(raw)
+        ex = jnp.exp(jnp.where(pre > 0, pre, 0.01 * pre))
+        den = jax.ops.segment_sum(ex, rc, num_segments=n)
+        w = (jnp.take(h_, sd, axis=0).reshape(-1, nh, f)
+             * ex[:, :, None])
+        agg = jax.ops.segment_sum(w, rc, num_segments=n)
+        inv = jnp.where(den > 0, 1.0 / (den + 1e-8), 0.0)
+        o = (agg * inv[:, :, None]).reshape(n, nh * f)
+        return jnp.sum(jnp.sin(o)), o
+
+    (_, o7), g7 = jax.value_and_grad(lv7, argnums=(0, 1, 2),
+                                     has_aux=True)(h, a_src, s_dst)
+    (_, oo), go = jax.value_and_grad(lref, argnums=(0, 1, 2),
+                                     has_aux=True)(h, a_src, s_dst)
+    np.testing.assert_allclose(np.asarray(o7), np.asarray(oo),
+                               rtol=0, atol=5e-2)
+    for a, b, nm in zip(g7, go, ("h", "a_src", "s_dst")):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=2e-2, err_msg=nm)
+
+
+def test_v11_stream_matches_recompute(monkeypatch):
+    """v11 gathered-payload stream vs the backward recompute must be
+    BIT-IDENTICAL in bf16 mode: a one-hot gather of bf16 values is an
+    exact selection, so streaming the forward's result is the same
+    numbers the backward's own contraction would produce."""
+    monkeypatch.delenv("GAT_TPU_V6_DTYPE", raising=False)  # bf16 default
+    monkeypatch.setenv("GAT_TPU_V10", "1")
+    from gat_pytorch_tpu.ops.pallas.segment_attention_window import (
+        fused_gat_window_v7)
+    g, rng = _v7_graph(3)
+    bl = g.block_layout
+    n = g.num_nodes
+    nh, f = 4, 8
+    h = jnp.asarray((rng.normal(size=(n, nh * f)) * 0.3).astype(np.float32))
+    a_src = jnp.asarray((rng.normal(size=(nh * f, nh))
+                         / np.sqrt(nh * f)).astype(np.float32))
+    s_dst = jnp.asarray((rng.normal(size=(n, nh)) * 0.3).astype(np.float32))
+
+    def run():
+        def fn(h_, a_, s_):
+            o = fused_gat_window_v7(h_, a_, s_, None, bl.send, bl.recv,
+                                    bl.base, bl.tile_ptr, bl.tile_base,
+                                    None, n, nh, f, bl.window, bl.wb,
+                                    1e-8, 0.01, bl.eb, bl.nb, True,
+                                    bl.dmax)
+            return jnp.sum(jnp.sin(o)), o
+        return jax.value_and_grad(fn, argnums=(0, 1, 2), has_aux=True)(
+            h, a_src, s_dst)
+
+    monkeypatch.setenv("GAT_TPU_V11", "1")
+    (_, o1), g1 = run()
+    monkeypatch.setenv("GAT_TPU_V11", "0")
+    (_, o0), g0 = run()
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+    for a, b, nm in zip(g1, g0, ("h", "a_src", "s_dst")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)
