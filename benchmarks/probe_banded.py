@@ -30,13 +30,15 @@ def main() -> None:
         v6 = parts[0]
         abl = parts[1] if len(parts) > 1 else ""
         v10 = parts[2] if len(parts) > 2 else "1"
+        v11 = parts[3] if len(parts) > 3 else "1"
         os.environ["GAT_TPU_V6"] = v6
         os.environ["GAT_TPU_V7_ABLATE"] = abl.replace("+", ",")
         os.environ["GAT_TPU_V10"] = v10
+        os.environ["GAT_TPU_V11"] = v11
         dt = bench.measure_train_step(cfg, graph, task, lr, l2,
                                       inner, iters)
         print(json.dumps({
-            "v6": v6, "ablate": abl, "v10": v10,
+            "v6": v6, "ablate": abl, "v10": v10, "v11": v11,
             "ms_per_step": round(dt * 1e3, 4),
             "edges_per_s": round(cfg.num_layers * e_real / dt, 1),
         }), flush=True)
