@@ -549,27 +549,30 @@ def test_v11_stream_matches_recompute(monkeypatch):
     bl = g.block_layout
     n = g.num_nodes
     nh, f = 4, 8
+    e7 = int(bl.send.shape[0])
     h = jnp.asarray((rng.normal(size=(n, nh * f)) * 0.3).astype(np.float32))
     a_src = jnp.asarray((rng.normal(size=(nh * f, nh))
                          / np.sqrt(nh * f)).astype(np.float32))
     s_dst = jnp.asarray((rng.normal(size=(n, nh)) * 0.3).astype(np.float32))
+    drop = jnp.asarray(((rng.random((e7, nh)) > 0.4) / 0.6
+                        ).astype(np.float32))
 
     def run():
-        def fn(h_, a_, s_):
-            o = fused_gat_window_v7(h_, a_, s_, None, bl.send, bl.recv,
+        def fn(h_, a_, s_, d_):
+            o = fused_gat_window_v7(h_, a_, s_, d_, bl.send, bl.recv,
                                     bl.base, bl.tile_ptr, bl.tile_base,
                                     None, n, nh, f, bl.window, bl.wb,
                                     1e-8, 0.01, bl.eb, bl.nb, True,
                                     bl.dmax)
             return jnp.sum(jnp.sin(o)), o
-        return jax.value_and_grad(fn, argnums=(0, 1, 2), has_aux=True)(
-            h, a_src, s_dst)
+        return jax.value_and_grad(fn, argnums=(0, 1, 2, 3),
+                                  has_aux=True)(h, a_src, s_dst, drop)
 
     monkeypatch.setenv("GAT_TPU_V11", "1")
     (_, o1), g1 = run()
     monkeypatch.setenv("GAT_TPU_V11", "0")
     (_, o0), g0 = run()
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
-    for a, b, nm in zip(g1, g0, ("h", "a_src", "s_dst")):
+    for a, b, nm in zip(g1, g0, ("h", "a_src", "s_dst", "drop")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=nm)
