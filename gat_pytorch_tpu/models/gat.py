@@ -509,20 +509,6 @@ def gat_layer_apply(params: Params,
         e_real = jnp.sum(edge_mask).astype(jnp.int32)
         nhfl = ((nh * f + 127) // 128) * 128
         v5_eb, v5_nb = (512, 256) if nhfl <= 512 else (256, 128)
-        local_cap = fsa.v5_local_cap(
-            h_flat, a_src, s_dst_local, senders, recv_local, e_real,
-            rows, nh, f, v5_eb, v5_nb, interpret)
-        # global cap via psum-owner routing (same rationale as the XLA
-        # path above: pmax is non-differentiable; the psum transpose
-        # delivers the globally summed cotangent to the owner's local
-        # max, whose sparse VJP lands it on the argmax logit)
-        local_sg = jax.lax.stop_gradient(local_cap)
-        global_max = jax.lax.pmax(local_sg, edge_axis)
-        idx = jax.lax.axis_index(edge_axis)
-        cand = jnp.where(local_sg >= global_max, idx,
-                         jax.lax.axis_size(edge_axis))
-        owner = idx == jax.lax.pmin(cand, edge_axis)
-        cap = jax.lax.psum(jnp.where(owner, local_cap, 0.0), edge_axis)
         drop_mask = None
         if training and cfg.dropout > 0.0:
             if rng is None:
@@ -530,10 +516,59 @@ def gat_layer_apply(params: Params,
             rng = jax.random.fold_in(rng, jax.lax.axis_index(edge_axis))
             keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, (E, nh))
             drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
-        out_local = fsa.fused_gat_table(
-            h_flat, a_src, s_dst_local, cap, drop_mask, senders,
-            recv_local, src_order, e_real, rows, nh, f, 1e-8, cfg.slope,
-            v5_eb, v5_nb, interpret, num_nodes)
+        import os as _os2
+        if _os2.environ.get("GAT_TPU_V10", "1") != "0":
+            # v10 on the sharded layout: ONE single-sweep kernel per
+            # shard returns UNNORMALISED (num, den) plus the shard's
+            # raw-logit max'; the global cap' is assembled with the
+            # same pmax/psum owner trick (exact argmax gradient via the
+            # parts op's cap chain) and the softmax completes in a
+            # local XLA epilogue — replaces the cap-kernel + attention-
+            # kernel pair with one launch and keeps the collective
+            # budget at one all_gather per layer.
+            s_src_local = jnp.dot(h_local, a_src,
+                                  preferred_element_type=jnp.float32)
+            # stop_gradient BEFORE the pmax (no differentiation rule);
+            # B cancels algebraically so its cotangent is exactly zero
+            b = jax.lax.stop_gradient(
+                jnp.max(s_src_local) + jnp.max(s_dst_local))
+            b = jax.lax.pmax(b, edge_axis)
+            num, den, capl, code = fsa.v5_sweep1_parts(
+                h_flat, a_src, s_dst_local - b, drop_mask, senders,
+                recv_local, src_order, e_real, rows, nh, f, 1e-8,
+                cfg.slope, v5_eb, v5_nb, interpret, num_nodes)
+            local_sg = jax.lax.stop_gradient(capl)
+            global_max = jax.lax.pmax(local_sg, edge_axis)
+            idx = jax.lax.axis_index(edge_axis)
+            cand = jnp.where(local_sg >= global_max, idx,
+                             jax.lax.axis_size(edge_axis))
+            owner = idx == jax.lax.pmin(cand, edge_axis)
+            capg = jax.lax.psum(jnp.where(owner, capl, 0.0), edge_axis)
+            epsp = 1e-8 * jnp.exp(cfg.slope * capg)
+            inv = jnp.where(den > 0.0, 1.0 / (den + epsp), 0.0)
+            out_local = (num.reshape(rows, nh, f)
+                         * inv[:, :, None]).reshape(rows, nh * f)
+        else:
+            local_cap = fsa.v5_local_cap(
+                h_flat, a_src, s_dst_local, senders, recv_local, e_real,
+                rows, nh, f, v5_eb, v5_nb, interpret)
+            # global cap via psum-owner routing (same rationale as the
+            # XLA path above: pmax is non-differentiable; the psum
+            # transpose delivers the globally summed cotangent to the
+            # owner's local max, whose sparse VJP lands it on the
+            # argmax logit)
+            local_sg = jax.lax.stop_gradient(local_cap)
+            global_max = jax.lax.pmax(local_sg, edge_axis)
+            idx = jax.lax.axis_index(edge_axis)
+            cand = jnp.where(local_sg >= global_max, idx,
+                             jax.lax.axis_size(edge_axis))
+            owner = idx == jax.lax.pmin(cand, edge_axis)
+            cap = jax.lax.psum(jnp.where(owner, local_cap, 0.0),
+                               edge_axis)
+            out_local = fsa.fused_gat_table(
+                h_flat, a_src, s_dst_local, cap, drop_mask, senders,
+                recv_local, src_order, e_real, rows, nh, f, 1e-8,
+                cfg.slope, v5_eb, v5_nb, interpret, num_nodes)
         out = jax.lax.all_gather(out_local, edge_axis, axis=0,
                                  tiled=True)
         if cfg.concat:

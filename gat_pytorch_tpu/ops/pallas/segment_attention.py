@@ -1655,6 +1655,103 @@ def _fgta_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret, res, g):
 fused_gat_table_autocap.defvjp(_fgta_fwd, _fgta_bwd)
 
 
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
+def v5_sweep1_parts(h_flat, a_src, s_dst, drop_mask,
+                    senders, receivers, src_order, e_real,
+                    num_nodes: int, nh: int, f: int,
+                    eps: float = 1e-8, slope: float = 0.01,
+                    eb: int = 256, nb: int = 128,
+                    interpret: bool = False,
+                    num_src_nodes: int = None):
+    """UNNORMALISED single-sweep attention parts over (possibly
+    shard-local) dst rows: (num (N, NH*F), den (N, NH), cap' scalar —
+    the max of the B-shifted raw logits this call saw — and the argmax
+    code). The caller completes the softmax, optionally AFTER
+    collectives over an edge mesh axis:
+
+        cap_g' = pmax(cap'); eps' = eps * exp(slope * cap_g')
+        out = num / (den + eps')      (0 where den == 0)
+
+    which is exactly the reference's capped softmax in B-shifted space
+    (see _kernel_v5_auto sweep1). s_dst must arrive ALREADY B-shifted.
+    INTERNAL CONTRACT: the VJP assumes num/den feed only such an
+    epilogue (their cotangents are consumed raw via the
+    normalize=False backward); cap's cotangent is routed to the argmax
+    (edge, head) exactly like the autocap op. Used by the dst-owner
+    sharded layer (models/gat.py) so the v10 single-sweep reaches the
+    distributed path with ONE kernel launch per shard."""
+    outs, _ = _v5sp_fwd(h_flat, a_src, s_dst, drop_mask, senders,
+                        receivers, src_order, e_real, num_nodes, nh, f,
+                        eps, slope, eb, nb, interpret, num_src_nodes)
+    return outs
+
+
+def _v5sp_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
+              src_order, e_real, num_nodes, nh, f, eps, slope, eb, nb,
+              interpret, num_src_nodes=None):
+    nh8 = _round_up(nh, 8)
+    h_src, a_pad, _, _, _ = _v5_operands(
+        h_flat, a_src, s_dst, senders, receivers, e_real, nh, f, eb, nb)
+    meta = _pack_meta_v5(drop_mask, receivers, nh8, eb)
+    with_dropout = drop_mask is not None
+    num, den, cap, code = _forward_v5_auto(
+        h_src, meta, a_pad, s_dst, receivers, e_real, num_nodes,
+        nh, f, eps=eps, slope=slope, eb=eb, nb=nb,
+        interpret=interpret, with_dropout=with_dropout, sweep1=True)
+    return ((num, den, cap, code),
+            (h_src, meta, a_pad, s_dst, code, senders, receivers,
+             src_order, e_real, with_dropout))
+
+
+def _v5sp_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret,
+              num_src_nodes, res, ct):
+    from .segment_sum import segment_sum_pallas_rows
+    from .segment_attention_bwd import backward_v5
+    (h_src, meta, a_pad, s_dst, code, senders, receivers, src_order,
+     e_real, with_dropout) = res
+    d_num, d_den, d_cap_in, _d_code = ct
+    e = receivers.shape[0]
+    nh8 = _round_up(nh, 8)
+    zero = jnp.float32(0.0)
+    d_h_rows, d_drop_t, d_sdst_t, d_apad, _unused = backward_v5(
+        h_src, meta, a_pad, s_dst, zero, receivers, e_real, d_num,
+        jnp.zeros_like(d_num), d_den, num_nodes, nh, f, eps=eps,
+        slope=slope, eb=eb, nb=nb, with_dropout=with_dropout,
+        interpret=interpret, sweep1=True, normalize=False)
+    ext = jnp.arange(e, e + eb, dtype=src_order.dtype)
+    g_sorted = jnp.take(d_h_rows, jnp.concatenate([src_order, ext]),
+                        axis=0)
+    ids_sorted = jnp.take(senders, src_order, axis=0)
+    # senders index the (possibly replicated GLOBAL) h table; dst rows
+    # are num_nodes (possibly shard-local) — same split as
+    # fused_gat_table's num_src_nodes
+    n_src = num_src_nodes if num_src_nodes is not None else num_nodes
+    d_table = segment_sum_pallas_rows(g_sorted, ids_sorted, n_src,
+                                      eb=eb, nb=nb, interpret=interpret)
+    d_h_flat = d_table[:, :nh * f]
+    d_a_src = d_apad[:nh * f, :nh]
+    d_s_dst = d_sdst_t[:nh].T[:num_nodes]
+    d_drop = d_drop_t[:nh, :e].T if with_dropout else None
+
+    # cap chain: the caller differentiates its epilogue, so d_cap_in is
+    # the already-assembled cap cotangent — route it to the argmax
+    dc = d_cap_in
+    eidx = code // nh8
+    hidx = code % nh8
+    src_star = jnp.take(senders, eidx)
+    dst_star = jnp.take(receivers, eidx)
+    hrow = jnp.take(h_src, eidx, axis=0)[:nh * f].astype(jnp.float32)
+    acol = jnp.take(a_pad, hidx, axis=1)[:nh * f].astype(jnp.float32)
+    d_h_flat = d_h_flat.at[src_star].add(dc * acol)
+    d_a_src = d_a_src.at[:, hidx].add(dc * hrow)
+    d_s_dst = d_s_dst.at[dst_star, hidx].add(dc)
+    return (d_h_flat, d_a_src, d_s_dst, d_drop, None, None, None, None)
+
+
+v5_sweep1_parts.defvjp(_v5sp_fwd, _v5sp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def v5_local_cap(h_flat, a_src, s_dst, senders, receivers, e_real,
                  num_nodes: int, nh: int, f: int,

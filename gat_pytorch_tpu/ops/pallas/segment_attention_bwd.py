@@ -550,12 +550,18 @@ def _kernel_v5_bwd(pref_ref,
                    sems, wsems, rsems,
                    *, eb: int, nb: int, nh: int, f: int, nh8: int,
                    nhf8: int, nhfl: int, eps: float, slope: float,
-                   with_dropout: bool, sweep1: bool = False):
+                   with_dropout: bool, sweep1: bool = False,
+                   normalize: bool = True):
     # sweep1 (v10 single-sweep forward): cap_ref holds eps' =
     # eps*exp(slope*cap'), denom is the UNNORMALISED den', the raw
     # scores are B-shifted, and LeakyReLU is its negative branch
     # everywhere (segment_attention._kernel_v5_auto docstring); the cap
     # cotangent moves to the XLA epilogue (d_cap output unused).
+    # normalize=False (implies sweep1): the op's outputs are the raw
+    # (num, den) parts and the caller's epilogue is differentiated in
+    # XLA — g_t carries d_num, denom_t carries d_den, out_t is unused,
+    # and the quotient terms collapse to inv_d = 1 (same convention as
+    # the older partial kernels above).
     i = pl.program_id(0)
     lo = (pref_ref[i] // eb) * eb
     hi = pref_ref[i + 1]
@@ -571,12 +577,16 @@ def _kernel_v5_bwd(pref_ref,
     a_src_t = a_src_ref[:].astype(jnp.float32)              # (NHFL, NH8)
     cap = cap_ref[0, 0]
     d = denom_t[:]
-    eps_eff = cap if sweep1 else eps
-    inv_d = jnp.where(d > 0.0, 1.0 / (d + eps_eff), 0.0)
-    outg_h = jax.lax.dot_general(
-        expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    d_den = -outg_h * inv_d
+    if normalize:
+        eps_eff = cap if sweep1 else eps
+        inv_d = jnp.where(d > 0.0, 1.0 / (d + eps_eff), 0.0)
+        outg_h = jax.lax.dot_general(
+            expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_den = -outg_h * inv_d
+    else:
+        inv_d = jnp.ones_like(d)
+        d_den = d
     dsdst_ref[:] = jnp.zeros_like(dsdst_ref)
 
     @pl.when(i == 0)
@@ -761,11 +771,13 @@ def backward_v5(h_src, meta, a_pad, s_dst, cap, receivers, e_real,
                 g, out, denom, num_nodes: int, nh: int, f: int,
                 *, eps: float, slope: float, eb: int, nb: int,
                 with_dropout: bool, interpret: bool,
-                sweep1: bool = False):
+                sweep1: bool = False, normalize: bool = True):
     """Returns (d_h rows (E_cols, NHFL), d_drop (NH8, E_cols),
     d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128)).
     sweep1: `cap` holds eps' and `denom` the unnormalised den'
-    (v10 single-sweep forward — _kernel_v5_bwd docstring)."""
+    (v10 single-sweep forward — _kernel_v5_bwd docstring).
+    normalize=False: `g` carries d_num, `denom` carries d_den, `out`
+    is ignored (the parts-op VJP — _kernel_v5_bwd docstring)."""
     e = receivers.shape[0]
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
@@ -837,7 +849,7 @@ def backward_v5(h_src, meta, a_pad, s_dst, cap, receivers, e_real,
     kernel = functools.partial(
         _kernel_v5_bwd, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, eps=eps, slope=slope, with_dropout=with_dropout,
-        sweep1=sweep1)
+        sweep1=sweep1, normalize=normalize)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
