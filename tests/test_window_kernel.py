@@ -536,13 +536,19 @@ def test_v7_bf16_default_mode_close(monkeypatch):
                                    rtol=0, atol=2e-2, err_msg=nm)
 
 
-def test_v11_stream_matches_recompute(monkeypatch):
+@pytest.mark.parametrize("dmak", [1, 4, 16])
+def test_v11_stream_matches_recompute(monkeypatch, dmak):
     """v11 gathered-payload stream vs the backward recompute must be
     BIT-IDENTICAL in bf16 mode: a one-hot gather of bf16 values is an
     exact selection, so streaming the forward's result is the same
-    numbers the backward's own contraction would produce."""
+    numbers the backward's own contraction would produce. Swept over
+    the dmak group-size extremes (1 = every block its own group,
+    16 > total blocks = one partial global group spanning every tile
+    boundary) — the gpay stream rides the same group schedule as the
+    comb stream and must survive the same edges."""
     monkeypatch.delenv("GAT_TPU_V6_DTYPE", raising=False)  # bf16 default
     monkeypatch.setenv("GAT_TPU_V10", "1")
+    monkeypatch.setenv("GAT_TPU_V7_DMAK", str(dmak))
     from gat_pytorch_tpu.ops.pallas.segment_attention_window import (
         fused_gat_window_v7)
     g, rng = _v7_graph(3)
