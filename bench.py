@@ -315,12 +315,20 @@ def main() -> None:
         }))
         return
 
+    # baseline provenance (VERDICT r3 item 8): vs_baseline silently used
+    # the committed constant even when a fresher session measurement
+    # existed — emit which source the divisor came from so a stale
+    # committed value is visible in the driver JSON.
+    env_base = os.environ.get("GAT_TPU_XLA_BASELINE")
+    baseline = float(env_base) if env_base else XLA_BASELINE_EDGES_PER_S
     out = {
         "metric": "cora_train_step_edge_throughput",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
-        "vs_baseline": round(edges_per_s / float(os.environ.get(
-            "GAT_TPU_XLA_BASELINE", XLA_BASELINE_EDGES_PER_S)), 4),
+        "vs_baseline": round(edges_per_s / baseline, 4),
+        "baseline_edges_per_s": baseline,
+        "baseline_source": "env:GAT_TPU_XLA_BASELINE" if env_base
+        else "committed (bench.py --measure_baseline, round-3 session)",
         "sol_fraction": round(edges_per_s / sol, 4),
         "sol_tile": round(edges_per_s / roofline_tile_edges_per_s(
             n_real, e_real, cfg), 4),
@@ -337,6 +345,11 @@ def main() -> None:
         out["pubmed_edges_per_s"] = round(epsp, 1)
         out["pubmed_sol_fraction"] = round(
             epsp / roofline_edges_per_s(np_, ep, cfgp), 4)
+        # distance to the access-pattern-aware floor (VERDICT r3 item 3a:
+        # the largest reference transductive graph had no honest
+        # distance-to-floor number)
+        out["pubmed_sol_tile"] = round(
+            epsp / roofline_tile_edges_per_s(np_, ep, cfgp), 4)
 
         s_inner = int(os.environ.get("GAT_TPU_BENCH_SCALE_INNER", "10"))
         s_iters = int(os.environ.get("GAT_TPU_BENCH_SCALE_ITERS", "3"))

@@ -26,13 +26,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Accuracy gates: GAT paper Table 2 center - 2*std (paper's own run
 # variance); Cora pinned at the BASELINE.md north-star 0.83 exactly.
+# PATTERN: the reference cites no number; the bar is the GNN-benchmark
+# (Dwivedi et al., the paper the PATTERN dataset ships from) GAT
+# weighted-accuracy figure ~85.5% minus the same 2-sigma-style slack the
+# other rows carry (VERDICT r3 item 8 replaced the 0.50 placeholder).
 # Keys are Trainer.evaluate's phase-prefixed test metrics.
 THRESHOLDS = {
     "Cora": ("test_acc", 0.83),
     "Citeseer": ("test_acc", 0.711),      # 72.5 +- 0.7
     "Pubmed": ("test_acc", 0.784),        # 79.0 +- 0.3
     "PPI": ("test_f1", 0.97),             # BASELINE.md north star
-    "PATTERN": ("test_weighted_acc", 0.50),  # no in-repo bar; sanity floor
+    "PATTERN": ("test_weighted_acc", 0.845),  # ~85.5 - slack
 }
 
 
