@@ -202,7 +202,8 @@ def compute_src_windows(senders: np.ndarray, receivers: np.ndarray,
 def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
                          num_real_edges: int, n_pad: int,
                          nb: Optional[int] = None,
-                         eb: Optional[int] = None) -> BlockLayout:
+                         eb: Optional[int] = None,
+                         n_src: Optional[int] = None) -> BlockLayout:
     """v7 block-local window layout (Graph.block_layout, consumed by
     ops/pallas/segment_attention_window.fused_gat_window_v7).
 
@@ -214,7 +215,12 @@ def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
     src-sorted, consecutive blocks cover consecutive narrow sender
     ranges: the static block window `wb` (max block span, rounded to
     128) is typically a small fraction of the tile band, and every
-    kernel contraction against the window shrinks proportionally."""
+    kernel contraction against the window shrinks proportionally.
+
+    n_src: sender-id range when it differs from the dst row range
+    (the dst-owner sharded layout: receivers are shard-LOCAL ids over
+    n_pad = N/k rows while senders index the GLOBAL replicated node
+    table). Defaults to n_pad (the single-device case)."""
     import os
 
     import jax.numpy as jnp
@@ -247,9 +253,9 @@ def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
         os.environ.get("GAT_TPU_V7_AUTOEB_MAX_E", "500000"))
     if not explicit and small and eb > 128:
         a = compute_block_layout(senders, receivers, num_real_edges,
-                                 n_pad, nb=nb, eb=eb)
+                                 n_pad, nb=nb, eb=eb, n_src=n_src)
         b = compute_block_layout(senders, receivers, num_real_edges,
-                                 n_pad, nb=nb, eb=eb // 2)
+                                 n_pad, nb=nb, eb=eb // 2, n_src=n_src)
         cost_a = a.send.shape[0] * (a.nb + a.wb)
         cost_b = b.send.shape[0] * (b.nb + b.wb)
         return b if cost_b < cost_a else a
@@ -351,7 +357,9 @@ def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
         np.minimum.at(tmin, blk_tile, base)
         np.maximum.at(tmax, blk_tile, bmax)
         has_t = m > 0
-        tile_base = np.where(has_t, np.minimum(tmin, n_pad), 0)
+        tile_base = np.where(
+            has_t, np.minimum(tmin, n_src if n_src is not None else n_pad),
+            0)
         window = int(round_up(
             max(int(np.where(has_t, tmax - tile_base + 1, 1).max()), wb),
             128))

@@ -489,6 +489,86 @@ def gat_layer_apply(params: Params,
             out = out + params["bias"]
         return out
 
+    # ---- v7 windowed single-sweep on the dst-owner sharded layout -------
+    # VERDICT r3 item 1: the flagship kernel family (v7 block-local
+    # windows + v10 single-sweep + v11 payload stream) on the
+    # boundary-free distributed layout. Each shard runs ONE
+    # v7_sweep1_parts kernel over its LOCAL dst rows (per-shard block
+    # layout from partition_edges_by_dst(src_windows=True): receivers
+    # local, senders into the replicated global table); the reference's
+    # GLOBAL cap is assembled with the same pmax/psum owner trick as the
+    # v5 sharded path and the softmax completes in a local XLA epilogue.
+    # Collective budget stays at one all_gather per layer.
+    if (edge_axis is not None and dst_owned and block_layout is not None
+            and _resolve_backend(backend) == "pallas"
+            and not return_attention and not cfg.paper_faithful
+            and not cfg.const_attention
+            and _v6_env not in ("0", "off")
+            and block_layout.eb % 128 == 0
+            and block_layout.nb % 128 == 0):
+        bl = block_layout
+        nhfl = ((nh * f + 127) // 128) * 128
+        budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB", "10")) * 2**20
+        fits = 16 * bl.window * nhfl <= budget
+        narrow = bl.wb * nhfl <= int(_os.environ.get(
+            "GAT_TPU_V6_MAX_WL", str(200 * 1024)))
+        if fits and (_v6_env == "1"
+                     or (_v6_env == "auto" and narrow)):
+            from ..utils.platform import is_tpu_backend
+            interpret = not is_tpu_backend()
+            kk = jax.lax.axis_size(edge_axis)
+            rows = num_nodes // kk
+            shard_lo = jax.lax.axis_index(edge_axis) * rows
+            a_src, a_dst = _split_attention_map(params["a"], nh, f)
+            h_local = jax.lax.dynamic_slice_in_dim(h_flat, shard_lo,
+                                                   rows, 0)
+            s_both = jnp.dot(h_local, jnp.concatenate([a_src, a_dst], 1),
+                             preferred_element_type=jnp.float32)
+            s_dst_local = s_both[:, nh:]
+            # global score bound: senders are GLOBAL while each shard
+            # only sees its local score rows, so pmax the src and dst
+            # maxes SEPARATELY (pmax of the per-shard sums does not
+            # dominate maxsrc_j1 + maxdst_j2 for j1 != j2). B cancels
+            # algebraically in the epilogue; stop_gradient is semantics.
+            b = (jax.lax.pmax(jax.lax.stop_gradient(
+                    jnp.max(s_both[:, :nh])), edge_axis)
+                 + jax.lax.pmax(jax.lax.stop_gradient(
+                    jnp.max(s_dst_local)), edge_axis))
+            drop_mask = None
+            if training and cfg.dropout > 0.0:
+                if rng is None:
+                    raise ValueError("rng required for attention dropout")
+                rng = jax.random.fold_in(rng,
+                                         jax.lax.axis_index(edge_axis))
+                keep = jax.random.bernoulli(
+                    rng, 1.0 - cfg.dropout, (bl.send.shape[0], nh))
+                drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
+            num, den, capl, code = fsw.v7_sweep1_parts(
+                h_flat, a_src, s_dst_local - b, drop_mask,
+                bl.send, bl.recv, bl.base, bl.tile_ptr, bl.tile_base,
+                rows, nh, f, bl.window, bl.wb, 1e-8, cfg.slope,
+                bl.eb, bl.nb, interpret, bl.dmax)
+            local_sg = jax.lax.stop_gradient(capl)
+            global_max = jax.lax.pmax(local_sg, edge_axis)
+            idx = jax.lax.axis_index(edge_axis)
+            cand = jnp.where(local_sg >= global_max, idx,
+                             jax.lax.axis_size(edge_axis))
+            owner = idx == jax.lax.pmin(cand, edge_axis)
+            capg = jax.lax.psum(jnp.where(owner, capl, 0.0), edge_axis)
+            epsp = 1e-8 * jnp.exp(cfg.slope * capg)
+            inv = jnp.where(den > 0.0, 1.0 / (den + epsp), 0.0)
+            out_local = (num.reshape(rows, nh, f)
+                         * inv[:, :, None]).reshape(rows, nh * f)
+            out = jax.lax.all_gather(out_local, edge_axis, axis=0,
+                                     tiled=True)
+            if cfg.concat:
+                out = out.reshape(num_nodes, nh * f)
+            else:
+                out = jnp.mean(out.reshape(num_nodes, nh, f), axis=1)
+            if cfg.bias:
+                out = out + params["bias"]
+            return out
+
     # ---- v5 on the dst-owner sharded layout -----------------------------
     # each shard owns whole dst segments (parallel/partition.py), so the
     # whole-fusion kernel runs per shard over its LOCAL dst rows with
@@ -534,10 +614,15 @@ def gat_layer_apply(params: Params,
             s_src_local = jnp.dot(h_local, a_src,
                                   preferred_element_type=jnp.float32)
             # stop_gradient BEFORE the pmax (no differentiation rule);
-            # B cancels algebraically so its cotangent is exactly zero
-            b = jax.lax.stop_gradient(
-                jnp.max(s_src_local) + jnp.max(s_dst_local))
-            b = jax.lax.pmax(b, edge_axis)
+            # B cancels algebraically so its cotangent is exactly zero.
+            # pmax src and dst maxes SEPARATELY: senders are global, so
+            # an edge can pair shard j1's max src score with shard j2's
+            # max dst score — pmax of the per-shard SUMS would not bound
+            # it (only an overflow-margin concern; B cancels either way)
+            b = (jax.lax.pmax(jax.lax.stop_gradient(
+                    jnp.max(s_src_local)), edge_axis)
+                 + jax.lax.pmax(jax.lax.stop_gradient(
+                    jnp.max(s_dst_local)), edge_axis))
             num, den, capl, code = fsa.v5_sweep1_parts(
                 h_flat, a_src, s_dst_local - b, drop_mask, senders,
                 recv_local, src_order, e_real, rows, nh, f, 1e-8,
@@ -986,7 +1071,11 @@ def gat_model_apply(params: Params,
             if (edge_axis is None or dst_owned) else None,
             tile_lo=graph.tile_lo if edge_axis is None else None,
             src_band=graph.src_band if edge_axis is None else 0,
-            block_layout=graph.block_layout if edge_axis is None else None)
+            # block_layout reaches the sharded layer too when dst_owned
+            # (per-shard stacked layouts from partition_edges_by_dst
+            # src_windows=True — the sharded v7 branch)
+            block_layout=graph.block_layout
+            if (edge_axis is None or dst_owned) else None)
         if return_attention:
             x, alpha = out
             attention.append(alpha)

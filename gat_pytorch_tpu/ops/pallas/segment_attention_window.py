@@ -851,7 +851,8 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                    slope: float, with_dropout: bool, resident: bool,
                    wb: int = 0, dmax: int = -1, dmak: int = 4,
                    ablate: frozenset = frozenset(),
-                   sweep1: bool = False, gstream: bool = False):
+                   sweep1: bool = False, gstream: bool = False,
+                   normalize: bool = True):
     v7 = wb > 0                       # block-local windows (see _kernel_v6)
     sliding = dmax >= 0               # sliding d(h) accumulator (v7 only)
     # v7 runs the v8 raw-score pipeline: the forward saved a COMBINED
@@ -899,13 +900,21 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         dasrc_ref[:] = jnp.zeros_like(dasrc_ref)
         dcap_ref[:] = jnp.zeros_like(dcap_ref)
 
+    # normalised op: inv_d = 1/(denom+eps_eff), d_den = -(out.g)_h*inv_d
+    # partial op (normalize=False, the sharded parts VJP): inv_d = 1 and
+    # denom_t carries the INCOMING d_den cotangent; out_t is unused —
+    # same convention as segment_attention_bwd.backward_packed
     d = denom_t[:]
-    eps_eff = cap if sweep1 else eps
-    inv_d = jnp.where(d > 0.0, 1.0 / (d + eps_eff), 0.0)
-    outg_h = jax.lax.dot_general(
-        expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    d_den = -outg_h * inv_d
+    if normalize:
+        eps_eff = cap if sweep1 else eps
+        inv_d = jnp.where(d > 0.0, 1.0 / (d + eps_eff), 0.0)
+        outg_h = jax.lax.dot_general(
+            expander, out_t[:] * g_t[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_den = -outg_h * inv_d
+    else:
+        inv_d = jnp.ones_like(d)
+        d_den = d
     # loop-invariant: hoisted out of the per-block body (Mosaic does
     # not hoist out of fori_loop bodies; the concat is a copy pass)
     payload_tile = jnp.concatenate([g_t[:], inv_d, d_den], axis=0)
@@ -1353,11 +1362,14 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
                 window: int, with_dropout: bool, interpret: bool,
                 block_base=None, tile_ptr=None, wb: int = 0,
                 comb=None, dmax: int = -1, sweep1: bool = False,
-                gpay=None):
+                gpay=None, normalize: bool = True):
     """Returns (d_table (N_rows, NHFL), d_drop (NH8, E_cols),
     d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128)).
     sweep1: `cap` holds eps' = eps*exp(slope*cap') and `denom` the
-    UNNORMALISED den' (v10 single-sweep forward — see _kernel_v6)."""
+    UNNORMALISED den' (v10 single-sweep forward — see _kernel_v6).
+    normalize=False computes the PARTS op's VJP (v7_sweep1_parts): pass
+    g = d_num and denom = d_den (the raw epilogue cotangents); `out` and
+    the cap scalar are unused."""
     dmak = _dmak()
     e = receivers.shape[0]
     t = pl.cdiv(num_nodes, nb)
@@ -1459,7 +1471,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
         with_dropout=with_dropout, resident=resident, wb=wb,
         dmax=dmax if sliding else -1, dmak=dmak, ablate=_ablate(),
-        sweep1=sweep1, gstream=gstream)
+        sweep1=sweep1, gstream=gstream, normalize=normalize)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1724,3 +1736,103 @@ fused_gat_window_v7.defvjp(_fgw7_fwd, _fgw7_bwd)
 
 
 fused_gat_window.defvjp(_fgw_fwd, _fgw_bwd)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17,
+                                    18, 19))
+def v7_sweep1_parts(h_flat, a_src, s_dst, drop_mask,
+                    senders, receivers, block_base, tile_ptr, tile_base,
+                    num_nodes: int, nh: int, f: int,
+                    window: int, wb: int,
+                    eps: float = 1e-8, slope: float = 0.01,
+                    eb: int = 512, nb: int = 256,
+                    interpret: bool = False, dmax: int = -1):
+    """UNNORMALISED windowed single-sweep attention parts over (possibly
+    shard-local) dst rows — the v7/v10/v11 twin of
+    segment_attention.v5_sweep1_parts, so the FLAGSHIP kernel family
+    reaches the dst-owner distributed layout (VERDICT r3 item 1).
+
+    Consumes a per-shard v7 block layout (receivers shard-LOCAL over
+    num_nodes dst rows; senders GLOBAL into the replicated h_flat table —
+    graph/transforms.compute_block_layout(n_src=N)). Returns
+    (num (N_local, NH*F), den (N_local, NH), cap' scalar — the max of the
+    B-shifted raw logits this shard saw — and the argmax code). The
+    caller completes the softmax after collectives over the edge axis:
+
+        cap_g' = pmax(cap'); eps' = eps * exp(slope * cap_g')
+        out = num / (den + eps')      (0 where den == 0)
+
+    s_dst must arrive ALREADY B-shifted (subtract a pmax'd global score
+    bound). INTERNAL CONTRACT: the VJP assumes num/den feed only such an
+    epilogue (cotangents consumed raw via backward_v6 normalize=False);
+    cap's cotangent is routed to the argmax (edge, head) exactly like
+    fused_gat_window_v7's cap chain."""
+    outs, _ = _v7sp_fwd(h_flat, a_src, s_dst, drop_mask, senders,
+                        receivers, block_base, tile_ptr, tile_base,
+                        num_nodes, nh, f, window, wb, eps, slope, eb, nb,
+                        interpret, dmax)
+    return outs
+
+
+def _v7sp_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
+              block_base, tile_ptr, tile_base,
+              num_nodes, nh, f, window, wb, eps, slope, eb, nb,
+              interpret, dmax):
+    h8, a_pad, base, nh8, nhfl, n_rows = _v7_prep(
+        h_flat, a_src, tile_base, nh, f, window)
+    meta = _pack_meta_v6(drop_mask, receivers, senders, nh8,
+                         _dmak() * eb)
+    with_dropout = drop_mask is not None
+    e7 = jnp.int32(senders.shape[0])
+    import os as _os
+    gstream = (_v6_dtype() == jnp.bfloat16
+               and _os.environ.get("GAT_TPU_V11", "1") != "0")
+    num, den, cap, code, comb, gpay = _forward_v6(
+        h8, meta, a_pad, s_dst, base, receivers, e7, num_nodes,
+        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
+        interpret=interpret, with_dropout=with_dropout,
+        block_base=block_base, tile_ptr=tile_ptr, wb=wb, sweep1=True,
+        gstream=gstream)
+    return ((num, den, cap, code),
+            (h8, meta, a_pad, s_dst, base, code, senders, receivers,
+             with_dropout, h_flat.shape[0], block_base, tile_ptr, comb,
+             gpay))
+
+
+def _v7sp_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
+              interpret, dmax, res, ct):
+    (h8, meta, a_pad, s_dst, base, code, senders, receivers,
+     with_dropout, n_orig, block_base, tile_ptr, comb, gpay) = res
+    d_num, d_den, d_cap_in, _d_code = ct
+    e = receivers.shape[0]
+    nh8 = _round_up(nh, 8)
+    d_table, d_drop_t, d_sdst_t, d_apad, _unused = backward_v6(
+        h8, meta, a_pad, s_dst, jnp.float32(0.0), base, receivers,
+        jnp.int32(e), d_num, jnp.zeros_like(d_num), d_den, num_nodes,
+        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
+        with_dropout=with_dropout, interpret=interpret,
+        block_base=block_base, tile_ptr=tile_ptr, wb=wb, comb=comb,
+        dmax=dmax, sweep1=True, gpay=gpay, normalize=False)
+    d_h_flat = d_table[:n_orig, :nh * f]
+    d_a_src = d_apad[:nh * f, :nh]
+    d_s_dst = d_sdst_t[:nh].T[:num_nodes]
+    d_drop = d_drop_t[:nh, :e].T if with_dropout else None
+
+    # cap chain: the caller differentiates its epilogue, so d_cap_in is
+    # the already-assembled cap cotangent — route it to the argmax
+    dc = d_cap_in
+    eidx = code // nh8
+    hidx = code % nh8
+    src_star = jnp.take(senders, eidx)
+    dst_star = jnp.take(receivers, eidx)
+    hrow = jnp.take(h8, src_star, axis=0)[:nh * f].astype(jnp.float32)
+    acol = jnp.take(a_pad, hidx, axis=1)[:nh * f].astype(jnp.float32)
+    d_h_flat = d_h_flat.at[src_star].add(dc * acol)
+    d_a_src = d_a_src.at[:, hidx].add(dc * hrow)
+    d_s_dst = d_s_dst.at[dst_star, hidx].add(dc)
+    return (d_h_flat, d_a_src, d_s_dst, d_drop, None, None, None, None,
+            None)
+
+
+v7_sweep1_parts.defvjp(_v7sp_fwd, _v7sp_bwd)

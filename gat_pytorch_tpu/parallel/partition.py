@@ -22,11 +22,11 @@ shard's range, keeping each slice dst-sorted.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
-from ..graph.graph import Graph, from_numpy
+from ..graph.graph import BlockLayout, Graph, from_numpy
 
 
 def _round_up(n: int, m: int) -> int:
@@ -35,7 +35,10 @@ def _round_up(n: int, m: int) -> int:
 
 def partition_edges_by_dst(graph: Graph, k: int,
                            pad_multiple: int = 256,
-                           eps: int = None) -> Tuple[Graph, int]:
+                           eps: int = None,
+                           src_windows: bool = False,
+                           nb: Optional[int] = None,
+                           eb: Optional[int] = None) -> Tuple[Graph, int]:
     """Reorder + pad a canonicalised Graph's edge arrays for k dst-owner
     shards. Returns (graph2, edges_per_shard); graph2.num_edges ==
     k * edges_per_shard and slicing [j*eps, (j+1)*eps) yields shard j's
@@ -43,7 +46,19 @@ def partition_edges_by_dst(graph: Graph, k: int,
 
     graph.num_nodes must be divisible by k (choose node buckets
     accordingly — loader/transforms pad_multiple).
-    """
+
+    src_windows=True additionally builds a PER-SHARD v7 block layout
+    (compute_block_layout with shard-LOCAL receivers and GLOBAL senders)
+    and attaches the k layouts STACKED along axis 0 as
+    graph2.block_layout — shard j's slice is [j*X, (j+1)*X) of every
+    layout array, with COMMON statics (wb/window = max over shards,
+    dmax = max when every shard is monotone else -1, slot counts padded
+    to the max shard). This is what lets the flagship v7/v10/v11
+    windowed single-sweep kernels run on the dst-owner distributed
+    layout (models/gat.py sharded v7 branch; VERDICT r3 item 1).
+    nb/eb: explicit block sizes (defaults 512/1024 — the sharded builder
+    must NOT use compute_block_layout's per-graph auto choice, which
+    could pick different eb per shard)."""
     n = graph.num_nodes
     if n % k != 0:
         raise ValueError(f"num_nodes {n} not divisible by k={k} "
@@ -99,21 +114,134 @@ def partition_edges_by_dst(graph: Graph, k: int,
         graph_ids=None if graph.graph_ids is None
         else np.asarray(graph.graph_ids),
         src_order=out_order)
+    if src_windows:
+        g2 = g2.replace(block_layout=_shard_block_layouts(
+            out_s, out_r, out_m, k, eps, rows, n, nb=nb, eb=eb))
     return g2, eps
 
 
+def _shard_block_layouts(out_s, out_r, out_m, k: int, eps: int,
+                         rows: int, n: int,
+                         nb: Optional[int] = None,
+                         eb: Optional[int] = None) -> BlockLayout:
+    """Per-shard v7 block layouts (local receivers, global senders),
+    stacked along axis 0 with common statics (see partition_edges_by_dst
+    docstring)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from ..graph.transforms import compute_block_layout
+    nb = nb or int(os.environ.get("GAT_TPU_V7_NB", "512"))
+    eb = eb or int(os.environ.get("GAT_TPU_V7_EB", "1024"))
+    layouts = []
+    for j in range(k):
+        sl = slice(j * eps, (j + 1) * eps)
+        mj = out_m[sl]
+        c = int(mj.sum())
+        layouts.append(compute_block_layout(
+            out_s[sl][:c], out_r[sl][:c] - j * rows, c, rows,
+            nb=nb, eb=eb, n_src=n))
+    t = layouts[0].tile_base.shape[0]
+    assert all(l.tile_base.shape[0] == t for l in layouts)
+    slots = max(max(l.num_slots for l in layouts), eb)
+    gmax = slots // eb
+    wb = max(l.wb for l in layouts)
+    window = max(l.window for l in layouts)
+    dmax = (-1 if any(l.dmax < 0 for l in layouts)
+            else max(l.dmax for l in layouts))
+
+    def pad_to(a, size, fill):
+        a = np.asarray(a)
+        return np.concatenate(
+            [a, np.full(size - a.shape[0], fill, a.dtype)])
+
+    send = np.concatenate(
+        [pad_to(l.send, slots, 0) for l in layouts])
+    recv = np.concatenate(
+        [pad_to(l.recv, slots, -1) for l in layouts])
+    base = np.concatenate(
+        [pad_to(l.base, gmax, 0) for l in layouts])
+    tile_ptr = np.concatenate([np.asarray(l.tile_ptr) for l in layouts])
+    tile_base = np.concatenate([np.asarray(l.tile_base)
+                                for l in layouts])
+    return BlockLayout(
+        send=jnp.asarray(send.astype(np.int32)),
+        recv=jnp.asarray(recv.astype(np.int32)),
+        base=jnp.asarray(base.astype(np.int32)),
+        tile_ptr=jnp.asarray(tile_ptr.astype(np.int32)),
+        tile_base=jnp.asarray(tile_base.astype(np.int32)),
+        wb=int(wb), window=int(window), nb=int(nb), eb=int(eb),
+        dmax=int(dmax))
+
+
+def repad_block_layout(bl: BlockLayout, k: int, slots: int = None,
+                       wb: int = None, window: int = None,
+                       dmax: int = None) -> BlockLayout:
+    """Re-pad a STACKED per-shard layout (k shards along axis 0) to
+    larger common sizes — unifies per-graph layouts so a batch of
+    partitioned graphs stacks (stack_graphs keeps layouts only when
+    shapes/statics agree). Pad slots carry recv == -1 (self-masking);
+    wb/window/dmax only ever grow (coverage arguments in
+    models/gat.py's sharded v7 branch hold for any window >= the
+    layout's own)."""
+    import jax.numpy as jnp
+    cur = bl.send.shape[0] // k
+    slots = max(slots or cur, cur)
+    gcur = bl.base.shape[0] // k
+    gmax = slots // bl.eb
+
+    def pad2(a, width, fill):
+        a = np.asarray(a).reshape(k, -1)
+        return jnp.asarray(np.pad(a, ((0, 0), (0, width - a.shape[1])),
+                                  constant_values=fill).reshape(-1))
+
+    new_dmax = bl.dmax
+    if dmax is not None:
+        new_dmax = -1 if (dmax < 0 or bl.dmax < 0) else max(dmax, bl.dmax)
+    return BlockLayout(
+        send=pad2(bl.send, slots, 0) if slots != cur else bl.send,
+        recv=pad2(bl.recv, slots, -1) if slots != cur else bl.recv,
+        base=pad2(bl.base, gmax, 0) if gmax != gcur else bl.base,
+        tile_ptr=bl.tile_ptr, tile_base=bl.tile_base,
+        wb=max(wb or 0, bl.wb), window=max(window or 0, bl.window),
+        nb=bl.nb, eb=bl.eb, dmax=new_dmax)
+
+
+def _unify_batch_layouts(graphs, k: int):
+    """Common (slots, wb, window, dmax) across a batch's stacked
+    layouts, in place via repad_block_layout."""
+    bls = [g.block_layout for g in graphs]
+    slots = max(b.send.shape[0] // k for b in bls)
+    wb = max(b.wb for b in bls)
+    window = max(b.window for b in bls)
+    dmax = (-1 if any(b.dmax < 0 for b in bls)
+            else max(b.dmax for b in bls))
+    return [g.replace(block_layout=repad_block_layout(
+                b, k, slots=slots, wb=wb, window=window, dmax=dmax))
+            for g, b in zip(graphs, bls)]
+
+
 def partition_batches(graphs, k: int, pad_multiple: int = 256,
-                      eps: int = None):
+                      eps: int = None, src_windows: bool = False):
     """Partition a list of same-bucket Graphs with ONE shared per-shard
     edge bucket (so they can be stacked along a batch axis for the
     sharded trainer). Returns (partitioned list, eps); pass the returned
     eps back on later epochs so reshuffled batches keep one static shape
-    (one compilation)."""
+    (one compilation). src_windows: attach per-shard v7 layouts (see
+    partition_edges_by_dst), unified across the batch so stack_graphs
+    keeps them."""
     if eps is not None:
-        return [partition_edges_by_dst(g, k, pad_multiple, eps=eps)[0]
-                for g in graphs], eps
-    parts = [partition_edges_by_dst(g, k, pad_multiple) for g in graphs]
+        out = [partition_edges_by_dst(g, k, pad_multiple, eps=eps,
+                                      src_windows=src_windows)[0]
+               for g in graphs]
+        return (_unify_batch_layouts(out, k) if src_windows else out), eps
+    parts = [partition_edges_by_dst(g, k, pad_multiple,
+                                    src_windows=src_windows)
+             for g in graphs]
     eps = max(e for _, e in parts)
-    return [g if e == eps
-            else partition_edges_by_dst(g0, k, pad_multiple, eps=eps)[0]
-            for (g, e), g0 in zip(parts, graphs)], eps
+    out = [g if e == eps
+           else partition_edges_by_dst(g0, k, pad_multiple, eps=eps,
+                                       src_windows=src_windows)[0]
+           for (g, e), g0 in zip(parts, graphs)]
+    return (_unify_batch_layouts(out, k) if src_windows else out), eps

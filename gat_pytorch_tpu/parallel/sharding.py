@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from ..graph.graph import Graph
+from ..graph.graph import BlockLayout, Graph
 from .mesh import DATA_AXIS, EDGE_AXIS
 
 # src_order is edge-length and, under the dst-owner layout, holds
@@ -35,11 +35,28 @@ _EDGE_FIELDS = frozenset({"senders", "receivers", "edge_mask",
 _META_FIELDS = frozenset({"num_nodes", "num_edges", "src_band"})
 
 
+def _layouts_stackable(graphs: List[Graph]) -> bool:
+    bls = [g.block_layout for g in graphs]
+    if any(b is None for b in bls):
+        return False
+    b0 = bls[0]
+    return all(
+        (b.wb, b.window, b.nb, b.eb, b.dmax)
+        == (b0.wb, b0.window, b0.nb, b0.eb, b0.dmax)
+        and b.send.shape == b0.send.shape
+        and b.base.shape == b0.base.shape
+        and b.tile_ptr.shape == b0.tile_ptr.shape
+        for b in bls)
+
+
 def stack_graphs(graphs: List[Graph]) -> Graph:
     """Stack same-bucket Graphs along a new leading batch axis.
-    Drops per-graph block_layout (the v7 layout is a single-graph,
-    single-device optimisation)."""
-    graphs = [g.replace(block_layout=None) for g in graphs]
+    Per-graph block_layout is KEPT (stacked) when every graph carries
+    one with identical shapes/statics — the dst-owner sharded layouts
+    from partition_edges_by_dst(src_windows=True) — and dropped
+    otherwise (heterogeneous single-device layouts don't stack)."""
+    if not _layouts_stackable(graphs):
+        graphs = [g.replace(block_layout=None) for g in graphs]
     g0 = graphs[0]
     for g in graphs[1:]:
         if (g.num_nodes, g.num_edges) != (g0.num_nodes, g0.num_edges):
@@ -55,7 +72,12 @@ def batch_specs(graph: Graph,
     kw = {}
     for f in dataclasses.fields(Graph):
         if f.name == "block_layout":
-            kw[f.name] = None
+            bl = graph.block_layout
+            espec = PartitionSpec(data_axis, edge_axis)
+            kw[f.name] = None if bl is None else BlockLayout(
+                send=espec, recv=espec, base=espec, tile_ptr=espec,
+                tile_base=espec, wb=bl.wb, window=bl.window, nb=bl.nb,
+                eb=bl.eb, dmax=bl.dmax)
         elif f.name in _META_FIELDS:
             kw[f.name] = getattr(graph, f.name)
         elif getattr(graph, f.name) is None:

@@ -66,10 +66,18 @@ def test_partitioner_invariants():
 
 def _specs_for(g):
     from jax.sharding import PartitionSpec as P
+
+    from gat_pytorch_tpu.graph.graph import BlockLayout
     espec, nspec = P("edge"), P()
+    bl = g.block_layout
+    blspec = None if bl is None else BlockLayout(
+        send=espec, recv=espec, base=espec, tile_ptr=espec,
+        tile_base=espec, wb=bl.wb, window=bl.window, nb=bl.nb,
+        eb=bl.eb, dmax=bl.dmax)
     gspecs = g.replace(x=nspec, senders=espec, receivers=espec,
                        edge_mask=espec, node_mask=nspec, y=nspec,
-                       graph_ids=nspec, src_order=espec)
+                       graph_ids=nspec, src_order=espec,
+                       block_layout=blspec)
     return jax.tree_util.tree_map(
         lambda s: s, gspecs, is_leaf=lambda s: isinstance(s, P))
 
@@ -397,6 +405,159 @@ def test_dst_owned_train_step_matches_unsharded():
                                rtol=1e-5)
     updates, _ = tx.update(grads_ref, tx.init(params), params)
     params_ref = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(state_s.params),
+                    jax.tree_util.tree_leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# v7 windowed single-sweep on the dst-owner layout (VERDICT r3 item 1):
+# the flagship kernel family and the distributed layout, together.
+# ---------------------------------------------------------------------------
+
+def make_banded_graph(seed=0, num_nodes=120, band=32, deg=4,
+                      num_feats=12, num_classes=4):
+    rng = np.random.default_rng(seed)
+    senders = np.repeat(np.arange(num_nodes), deg)
+    receivers = np.clip(
+        senders + rng.integers(-band // 2, band // 2, num_nodes * deg),
+        0, num_nodes - 1)
+    x = rng.normal(size=(num_nodes, num_feats)).astype(np.float32)
+    y = (rng.random((num_nodes, num_classes)) > 0.5).astype(np.float32)
+    return T.canonicalize(x, senders, receivers, y=y,
+                          node_bucket=128, edge_bucket=1024,
+                          pad_multiple=32)
+
+
+def _windowed_partition(g, k):
+    g2, _ = partition_edges_by_dst(g, k, pad_multiple=32,
+                                   src_windows=True, nb=128, eb=128)
+    assert g2.block_layout is not None
+    return g2
+
+
+def test_dst_owned_v7_windowed_forward_matches_unsharded(monkeypatch):
+    """Per-shard v7_sweep1_parts (block-local windows, v10 single-sweep)
+    + pmax/psum owner cap + local epilogue + one all_gather == the
+    unsharded model."""
+    from jax.sharding import PartitionSpec as P
+    monkeypatch.setenv("GAT_TPU_V6", "1")
+    monkeypatch.setenv("GAT_TPU_V6_DTYPE", "float32")
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    cfg = tiny_cfg()
+    g = make_banded_graph(seed=11)
+    g2 = _windowed_partition(g, k)
+    params = gat.init_gat_model(jax.random.key(9), cfg)
+    want = gat.gat_model_apply(params, cfg, g, training=False,
+                               backend="xla")
+
+    import gat_pytorch_tpu.models.gat as gatmod
+    calls = []
+    orig = gatmod.fsw.v7_sweep1_parts
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(gatmod.fsw, "v7_sweep1_parts", spy)
+
+    def body(p, graph):
+        return gat.gat_model_apply(p, cfg, graph, training=False,
+                                   edge_axis="edge", dst_owned=True,
+                                   backend="pallas")
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), _specs_for(g2)), out_specs=P(),
+        check_vma=False))(params, g2)
+    assert calls, "the sharded v7 branch must engage (GAT_TPU_V6=1)"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dst_owned_v7_windowed_grads_match_unsharded(monkeypatch):
+    """Gradients through the sharded v7 path: backward_v6 normalize=False
+    consumes the epilogue's raw (d_num, d_den) cotangents; the cap
+    cotangent routes to the argmax via the owner-psum trick; the d(h)
+    window scatter lands on the replicated table and the dst_owned
+    1/K + psum convention completes it."""
+    from jax.sharding import PartitionSpec as P
+    monkeypatch.setenv("GAT_TPU_V6", "1")
+    monkeypatch.setenv("GAT_TPU_V6_DTYPE", "float32")
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    cfg = tiny_cfg()
+    g = make_banded_graph(seed=12)
+    g2 = _windowed_partition(g, k)
+    params = gat.init_gat_model(jax.random.key(10), cfg)
+
+    def loss_of(p, graph, ea, do, backend):
+        out = gat.gat_model_apply(p, cfg, graph, training=False,
+                                  edge_axis=ea, dst_owned=do,
+                                  backend=backend)
+        return jnp.mean(out ** 2)
+
+    want = jax.grad(loss_of)(params, g, None, False, "xla")
+
+    def body(p, graph):
+        def scaled(p):
+            return loss_of(p, graph, "edge", True,
+                           "pallas") / jax.lax.axis_size("edge")
+        return jax.lax.psum(jax.grad(scaled)(p), "edge")
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), _specs_for(g2)), out_specs=P(),
+        check_vma=False))(params, g2)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got),
+            jax.tree_util.tree_leaves_with_path(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_dst_owned_v7_windowed_train_step_matches_unsharded(monkeypatch):
+    """Full sharded train step on a STACKED batch with the stacked
+    per-shard layouts (stack_graphs keeps compatible block_layouts;
+    batch_specs shards them over (data, edge))."""
+    import optax
+    monkeypatch.setenv("GAT_TPU_V6", "1")
+    monkeypatch.setenv("GAT_TPU_V6_DTYPE", "float32")
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    cfg = tiny_cfg()
+    task = make_task("PPI")
+    tx = optax.sgd(1e-1)
+    params = gat.init_gat_model(jax.random.key(11), cfg)
+    rng = jax.random.key(12)
+
+    g = make_banded_graph(seed=13)
+    g2 = _windowed_partition(g, k)
+    batch = parallel.stack_graphs([g2])
+    assert batch.block_layout is not None, \
+        "stack_graphs must keep the stacked shard layouts"
+
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       rng=rng, step=jnp.int32(0))
+    step = parallel.make_sharded_train_step(cfg, task, tx, mesh,
+                                            dst_owned=True)
+    state_s, mets = step(parallel.replicated(state, mesh),
+                         parallel.put_batch(batch, mesh))
+
+    _, sub = jax.random.split(rng)
+
+    def loss_fn(p):
+        key = jax.random.fold_in(sub, 0)
+        logits = gat.gat_model_apply(p, cfg, g, rng=key, training=True)
+        return task.loss(logits, g, "train")
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(mets["train_loss"]), float(loss_ref),
+                               rtol=1e-5)
+    updates, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = jax.tree_util.tree_map(lambda a, b: a + b, params,
+                                        updates)
     for a, b in zip(jax.tree_util.tree_leaves(state_s.params),
                     jax.tree_util.tree_leaves(params_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
