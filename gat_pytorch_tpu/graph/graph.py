@@ -29,8 +29,9 @@ import numpy as np
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["send", "recv", "base", "tile_ptr", "tile_base"],
-         meta_fields=["wb", "window", "nb", "eb", "dmax"])
+         data_fields=["send", "recv", "base", "tile_ptr", "tile_base",
+                      "rem_send", "rem_recv", "rem_order"],
+         meta_fields=["wb", "window", "nb", "eb", "dmax", "rem_e"])
 @dataclasses.dataclass(frozen=True)
 class BlockLayout:
     """Block-local window layout for the v7 windowed-gather kernel
@@ -57,6 +58,15 @@ class BlockLayout:
     dmax: int = -1        # static: 8-aligned bound on consecutive
     #                       tile-base deltas when monotone (sliding d(h)
     #                       accumulator certificate); -1 = non-monotone
+    # -- hybrid split-locality layout (compute_hybrid_layout) ----------
+    # the OUT-OF-WINDOW remainder edges, routed through the v5 table
+    # kernel whose unnormalised single-sweep parts add to the windowed
+    # kernel's in one epilogue (models/gat.py hybrid branch). None on
+    # plain layouts.
+    rem_send: Optional[jax.Array] = None   # (Er,) int32 dst-sorted
+    rem_recv: Optional[jax.Array] = None   # (Er,) int32 dst-sorted
+    rem_order: Optional[jax.Array] = None  # (Er,) int32 sender-sort perm
+    rem_e: int = 0        # static: real (unpadded) remainder edge count
 
     @property
     def num_slots(self) -> int:

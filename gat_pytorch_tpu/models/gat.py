@@ -334,10 +334,18 @@ def gat_layer_apply(params: Params,
         # cost driver drops from w*nhfl to wb*nhfl (~3x on the banded
         # bench), so the auto gate keys on wb.
         bl = block_layout
+        # hybrid split-locality layout (compute_hybrid_layout): the v7
+        # windowed kernel covers the in-window edges, the v5 table
+        # kernel the remainder, and their UNNORMALISED single-sweep
+        # parts add in one epilogue — requires the v10 single-sweep
+        # (the 2-phase kernels normalise internally, so their outputs
+        # would not add)
+        hybrid = bl is not None and bl.rem_send is not None
         # v7 runs at the LAYOUT's block sizes (prep-time choice; the
         # kernel is generic in eb/nb as long as both are 128-multiples)
         use_v7 = (bl is not None and bl.eb % 128 == 0
-                  and bl.nb % 128 == 0)
+                  and bl.nb % 128 == 0
+                  and (not hybrid or fsw._v10_sweep1()))
         w = n_rows8
         if use_v7:
             # the kernel pads the node table to >= window rows and clips
@@ -397,7 +405,51 @@ def gat_layer_apply(params: Params,
                                             (e_slots, nh))
                 return keep.astype(jnp.float32) / (1.0 - cfg.dropout)
 
-            if use_v7:
+            if use_v7 and hybrid:
+                # split-locality: v7 parts over the in-window edges +
+                # v5 parts over the remainder; num/den are additive over
+                # any edge partition (exact — both accumulate
+                # exp(slope*(raw - B)) terms), the global cap' is the
+                # max of the two (jnp.maximum routes the cap cotangent
+                # to the winning op's argmax chain), one XLA epilogue.
+                s_dst_eff = s_dst_n - bound
+                if training and cfg.dropout > 0.0 and rng is not None:
+                    r1, r2 = jax.random.split(rng)
+                else:
+                    r1 = r2 = rng
+
+                def mk(e_slots, key):
+                    if not (training and cfg.dropout > 0.0):
+                        return None
+                    if key is None:
+                        raise ValueError(
+                            "rng required for attention dropout")
+                    keep = jax.random.bernoulli(
+                        key, 1.0 - cfg.dropout, (e_slots, nh))
+                    return keep.astype(jnp.float32) / (1.0 - cfg.dropout)
+
+                num1, den1, cap1, _c1 = fsw.v7_sweep1_parts(
+                    h_flat, a_src, s_dst_eff,
+                    mk(bl.send.shape[0], r1),
+                    bl.send, bl.recv, bl.base, bl.tile_ptr,
+                    bl.tile_base, num_nodes, nh, f, bl.window, bl.wb,
+                    1e-8, cfg.slope, bl.eb, bl.nb, interpret, bl.dmax)
+                v5_eb, v5_nb = (512, 256) if nhfl <= 512 else (256, 128)
+                if nhfl <= 512 and bl.rem_send.shape[0] <= 500_000:
+                    v5_nb = 512
+                num2, den2, cap2, _c2 = fsa.v5_sweep1_parts(
+                    h_flat, a_src, s_dst_eff,
+                    mk(bl.rem_send.shape[0], r2),
+                    bl.rem_send, bl.rem_recv, bl.rem_order,
+                    jnp.int32(bl.rem_e), num_nodes, nh, f, 1e-8,
+                    cfg.slope, v5_eb, v5_nb, interpret)
+                cap = jnp.maximum(cap1, cap2)
+                epsp = 1e-8 * jnp.exp(cfg.slope * cap)
+                den = den1 + den2
+                inv = jnp.where(den > 0.0, 1.0 / (den + epsp), 0.0)
+                out = ((num1 + num2).reshape(num_nodes, nh, f)
+                       * inv[:, :, None]).reshape(num_nodes, nh * f)
+            elif use_v7:
                 out = fsw.fused_gat_window_v7(
                     h_flat, a_src, s_dst_n, make_drop(bl.send.shape[0]),
                     bl.send, bl.recv, bl.base, bl.tile_ptr, bl.tile_base,
