@@ -60,11 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="neighbor-sampled minibatch training, e.g. '10,10'"
                         " (transductive datasets)")
     p.add_argument("--sampling_batch_size", type=int, default=None)
-    p.add_argument("--reorder", default=None, choices=["rcm"],
-                   help="relabel nodes (reverse Cuthill-McKee) and emit "
-                        "the windowed-kernel block layout -- the banded "
-                        "fast path when the graph compresses; labels/"
-                        "masks/outputs stay consistent")
+    p.add_argument("--reorder", default=None, choices=["rcm", "cluster"],
+                   help="relabel nodes and emit the windowed-kernel "
+                        "block layout: 'rcm' (reverse Cuthill-McKee, "
+                        "banded fast path) or 'cluster' (capped label "
+                        "propagation + hybrid split-locality layout for "
+                        "community-structured graphs); labels/masks/"
+                        "outputs stay consistent")
     return p
 
 
@@ -90,9 +92,10 @@ def run(config) -> dict:
     if name in ("Cora", "Citeseer", "Pubmed"):
         raw = datasets.load_planetoid(name, synthetic_override=synth,
                                       seed=config.seed)
+        _ro = getattr(config, "reorder", None)
         g = loader.transductive_graph(
-            raw, reorder=getattr(config, "reorder", None),
-            src_windows=getattr(config, "reorder", None) is not None)
+            raw, reorder=_ro, src_windows=_ro is not None,
+            hybrid=_ro == "cluster")
         train_data, val_data, test_data = [g], [g], [g]
         reshuffle = None
         if config.sampling_fanouts:

@@ -76,7 +76,8 @@ class InductiveBatcher:
 
 def transductive_graph(raw: RawGraph, pad_multiple: int = 128,
                        reorder: str = None,
-                       src_windows: bool = False) -> Graph:
+                       src_windows: bool = False,
+                       hybrid: bool = False) -> Graph:
     """Single full-graph Graph with split masks (Planetoid path).
 
     reorder="rcm" + src_windows=True relabels nodes by reverse
@@ -84,9 +85,13 @@ def transductive_graph(raw: RawGraph, pad_multiple: int = 128,
     (Graph.tile_lo / Graph.block_layout) — labels, masks, and outputs
     are permuted consistently (Graph.node_order maps back), so training
     and metrics are unchanged while the attention kernels run the
-    banded fast path when the graph compresses."""
+    banded fast path when the graph compresses.
+    reorder="cluster" + hybrid=True is the ordering+layout for graphs
+    RCM cannot band (community-structured, e.g. Pubmed): cluster-local
+    edges ride the windowed kernel, the remainder the table kernel
+    (transforms.compute_hybrid_layout)."""
     return T.canonicalize(
         raw.x, raw.senders, raw.receivers, y=raw.y,
         train_mask=raw.train_mask, val_mask=raw.val_mask,
         test_mask=raw.test_mask, pad_multiple=pad_multiple,
-        reorder=reorder, src_windows=src_windows)
+        reorder=reorder, src_windows=src_windows, hybrid=hybrid)

@@ -385,6 +385,22 @@ def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
         window = int(round_up(
             max(int(np.where(has_t, tmax - tile_base + 1, 1).max()), wb),
             128))
+        # monotonise non-monotone bases by SUFFIX-MIN when the window
+        # growth is modest: per-tile best-coverage window choices (the
+        # hybrid layout) jitter by small amounts within a cluster, which
+        # would otherwise force the backward onto the serial per-tile
+        # RMW path (dmax = -1). Lowering a tile's base only widens its
+        # window — every block's edges stay covered (the clip argument
+        # in models/gat.py's wb/window-max discussion).
+        occ_base = np.where(has_t, tile_base, np.int64(2 ** 62))
+        if has_t.any() and not (np.diff(tile_base[has_t]) >= 0).all():
+            cand = np.minimum.accumulate(occ_base[::-1])[::-1]
+            cand = np.where(has_t, cand, 0)
+            window2 = int(round_up(
+                max(int(np.where(has_t, tmax - cand + 1, 1).max()), wb),
+                128))
+            if window2 <= window + max(window // 3, 1024):
+                tile_base, window = cand, window2
         # forward-fill empty tiles' bases so they never break the
         # monotone-base property the sliding d(h) accumulator needs
         # (an empty tile has no blocks — its window content is unused)
@@ -486,7 +502,12 @@ def compute_hybrid_layout(senders: np.ndarray, receivers: np.ndarray,
     works; the split only keys on sender-id windows."""
     import os
     nb = nb or int(os.environ.get("GAT_TPU_V7_NB", "512"))
-    eb = eb or int(os.environ.get("GAT_TPU_V7_EB", "1024"))
+    # hybrid default eb = 256, NOT the banded default 1024: hybrid
+    # graphs' tiles spread edges over cluster-wide windows, so eb=1024
+    # blocks span ~3.5k rows (wb past the narrow gate); eb=256 measured
+    # wb 1024 at 8% fewer slots on the Pubmed stand-in. Override with
+    # GAT_TPU_V7_HYBRID_EB.
+    eb = eb or int(os.environ.get("GAT_TPU_V7_HYBRID_EB", "256"))
     if max_window is None:
         max_window = int(os.environ.get("GAT_TPU_HYBRID_MAX_W", "8192"))
     e = num_real_edges
