@@ -24,9 +24,10 @@ def main() -> None:
     cases = os.environ.get("GAT_TPU_PUBMED_CASES",
                            "rcm,cluster").split(",")
     for case in cases:
-        # case syntax: <reorder>[@<hybrid_eb>][/<v6>]
+        # case syntax: <reorder>[@<hybrid_eb>][/<v6>][/nodrop]
         parts = case.split("/")
-        v6 = parts[1] if len(parts) > 1 else "auto"
+        v6 = parts[1] if len(parts) > 1 and parts[1] else "auto"
+        nodrop = "nodrop" in parts[2:]
         head = parts[0]
         if "@" in head:
             reorder, heb = head.split("@")
@@ -37,6 +38,9 @@ def main() -> None:
         os.environ["GAT_TPU_PUBMED_REORDER"] = reorder
         os.environ["GAT_TPU_V6"] = v6
         cfg, graph, task, lr, l2 = bench.pubmed_workload()
+        if nodrop:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, dropout=0.0)
         e_real = int(np.asarray(graph.edge_mask).sum())
         bl = graph.block_layout
         stats = None

@@ -44,13 +44,20 @@ def project(argv_ns) -> int:
     conservative public planning number), --dcn_gbs 25 per host for the
     2-host case (inter-host fraction of the ring crosses DCN)."""
     t1 = argv_ns.t1_ms * 1e-3
-    n, nhf = argv_ns.nodes, argv_ns.nhf
-    layers = 2
+    n = argv_ns.nodes
+    # per-LAYER output widths after head combine (round-4 fix: the old
+    # model charged every layer at the widest nhf — the bench model's
+    # layer 2 is mean-combined to 8 wide, 16x less than layer 1)
+    widths_out = argv_ns.layer_widths
+    ag_bytes = 2 if argv_ns.bf16_transport else 4
     rows = []
     for k in argv_ns.widths:
         # per-chip received bytes per step: fwd all_gather + bwd
-        # reduce_scatter per layer, (K-1)/K of the (N, nhf) f32 output
-        bytes_per_chip = 2 * layers * (k - 1) / k * n * nhf * 4
+        # reduce_scatter per layer over that layer's output width; with
+        # bf16 transport (GAT_TPU_AG_DTYPE=bfloat16) BOTH directions run
+        # at 2 B/elem (the cast's transpose makes the cotangent bf16)
+        bytes_per_chip = sum(2 * (k - 1) / k * n * w * ag_bytes
+                             for w in widths_out)
         bw = argv_ns.ici_gbs * 1e9
         mode = "edge_ici"
         if argv_ns.hosts > 1 and argv_ns.dp_across_hosts:
@@ -99,13 +106,25 @@ def main(argv=None) -> int:
                    help="cut: equal edge slices + psum completion; "
                         "dst_owned: boundary-free partition, one "
                         "all_gather/layer (parallel/partition.py)")
+    p.add_argument("--windowed", action="store_true",
+                   help="dst_owned with per-shard v7 block layouts "
+                        "(src_windows=True — the round-4 sharded "
+                        "windowed kernels)")
     p.add_argument("--project", action="store_true",
                    help="print the analytic ICI scaling projection "
                         "instead of running (see project.__doc__)")
-    p.add_argument("--t1_ms", type=float, default=277.0,
-                   help="measured single-chip ms/step (bench.py 5M)")
-    p.add_argument("--nhf", type=int, default=128,
-                   help="widest layer nh*f for the collective volume")
+    p.add_argument("--t1_ms", type=float, default=70.87,
+                   help="measured single-chip ms/step of the SHARDED "
+                        "program (round-4: sharded_tpu_check --dst_owned "
+                        "--windowed --bench_model banded-5M, 1-device "
+                        "mesh — docs/PERF.md round 4)")
+    p.add_argument("--layer_widths", type=int, nargs="+",
+                   default=[128, 8],
+                   help="per-layer output widths after head combine "
+                        "(bench model: 8x16 concat, 8x8 mean)")
+    p.add_argument("--bf16_transport", action="store_true",
+                   help="model GAT_TPU_AG_DTYPE=bfloat16 (2 B/elem both "
+                        "directions)")
     p.add_argument("--widths", type=int, nargs="+",
                    default=[2, 4, 8, 16])
     p.add_argument("--hosts", type=int, default=1)
@@ -158,12 +177,16 @@ def main(argv=None) -> int:
                             r"reduce-scatter|all-to-all)\(", ln)
             if not mm:
                 continue
-            for tm in _re.finditer(r"[fsu]\d+\[([\d,]*)\]", mm.group(1)):
+            # dtype-aware (bf16 transport counts 2 B/elem): f32[...],
+            # bf16[...], s32[...], pred[...]
+            for tm in _re.finditer(r"\b(f|bf|s|u|pred)(\d*)\[([\d,]*)\]",
+                                   mm.group(1)):
+                bits = int(tm.group(2)) if tm.group(2) else 8
                 s = 1
-                for d in tm.group(1).split(","):
+                for d in tm.group(3).split(","):
                     if d:
                         s *= int(d)
-                total += 4 * s
+                total += (bits // 8) * s
         return total
 
     n_total = len(jax.devices())
@@ -175,7 +198,8 @@ def main(argv=None) -> int:
                                   devices=jax.devices()[:w])
         g = graph
         if dst_owned:
-            g, _ = parallel.partition_edges_by_dst(graph, w)
+            g, _ = parallel.partition_edges_by_dst(
+                graph, w, src_windows=args.windowed)
         batch = parallel.put_batch(parallel.stack_graphs([g]), mesh)
         params_key, rng = jax.random.split(jax.random.key(0))
         from gat_pytorch_tpu.models.gat import init_gat_model

@@ -88,6 +88,29 @@ def _gemm_dtype():
             else jnp.float32)
 
 
+def _ag_tiled(out_local: jax.Array, edge_axis: str) -> jax.Array:
+    """Tiled all_gather of a dst-owner shard's output rows, with
+    optional bf16 transport (GAT_TPU_AG_DTYPE=bfloat16): the activation
+    is cast to bf16 for the wire and back to f32 after — halves the
+    dominant inter-chip bytes (the layer-1 (N, NH*F) gather and, via
+    the cast's transpose, its backward reduce_scatter too, since the
+    cotangent of a bf16 primal is bf16). Same rounding class as the
+    bf16 GEMM-input mode; default off for f32 parity."""
+    import os
+    if (os.environ.get("GAT_TPU_AG_DTYPE") == "bfloat16"
+            and out_local.dtype == jnp.float32):
+        # optimization barriers pin the converts to the shard-local side
+        # — without them XLA commutes the upcast through the all_gather
+        # and the wire runs f32 anyway (observed on the CPU backend).
+        # Their transposes also keep the backward's psum_scatter in bf16.
+        low = jax.lax.optimization_barrier(
+            out_local.astype(jnp.bfloat16))
+        out = jax.lax.optimization_barrier(
+            jax.lax.all_gather(low, edge_axis, axis=0, tiled=True))
+        return out.astype(jnp.float32)
+    return jax.lax.all_gather(out_local, edge_axis, axis=0, tiled=True)
+
+
 def _resolve_backend(backend: str) -> str:
     if backend not in _VALID_BACKENDS:
         raise ValueError(f"backend must be one of {_VALID_BACKENDS}")
@@ -434,15 +457,44 @@ def gat_layer_apply(params: Params,
                     bl.send, bl.recv, bl.base, bl.tile_ptr,
                     bl.tile_base, num_nodes, nh, f, bl.window, bl.wb,
                     1e-8, cfg.slope, bl.eb, bl.nb, interpret, bl.dmax)
-                v5_eb, v5_nb = (512, 256) if nhfl <= 512 else (256, 128)
-                if nhfl <= 512 and bl.rem_send.shape[0] <= 500_000:
-                    v5_nb = 512
-                num2, den2, cap2, _c2 = fsa.v5_sweep1_parts(
-                    h_flat, a_src, s_dst_eff,
-                    mk(bl.rem_send.shape[0], r2),
-                    bl.rem_send, bl.rem_recv, bl.rem_order,
-                    jnp.int32(bl.rem_e), num_nodes, nh, f, 1e-8,
-                    cfg.slope, v5_eb, v5_nb, interpret)
+                rem_e7 = bl.rem_send.shape[0]
+                if rem_e7 <= int(_os.environ.get(
+                        "GAT_TPU_HYBRID_REM_XLA_MAX", str(64 * 1024))):
+                    # SMALL remainder: plain XLA segment ops — a second
+                    # Mosaic op's fixed launch costs (fwd + bwd + sorted
+                    # scatter) measured away the v7 win on Pubmed
+                    # (probe_pubmed round 4: hybrid-with-v5-remainder was
+                    # a 1% WASH vs v5). Same collapsed-LeakyReLU algebra:
+                    # raw' <= 0 so ex = exp(slope*raw'); num gets the
+                    # dropout mask, den does not (dropout is applied to
+                    # the NORMALISED alpha in the reference).
+                    rem_mask = jnp.arange(rem_e7) < bl.rem_e
+                    # s_dst_eff is already B-shifted — raw2 = raw - B
+                    raw2 = (seg.gather_rows(s_both[:, :nh], bl.rem_send)
+                            + seg.gather_rows(s_dst_eff, bl.rem_recv))
+                    ex2 = jnp.where(rem_mask[:, None],
+                                    jnp.exp(cfg.slope * raw2), 0.0)
+                    m2 = mk(rem_e7, r2)
+                    exm2 = ex2 if m2 is None else ex2 * m2
+                    h_src2 = seg.gather_rows(h_flat, bl.rem_send)
+                    num2 = seg.segment_sum(
+                        (h_src2.reshape(rem_e7, nh, f)
+                         * exm2[:, :, None]).reshape(rem_e7, nh * f),
+                        bl.rem_recv, num_nodes)
+                    den2 = seg.segment_sum(ex2, bl.rem_recv, num_nodes)
+                    cap2 = jnp.max(jnp.where(rem_mask[:, None], raw2,
+                                             fsa.NEG_INF))
+                else:
+                    v5_eb, v5_nb = ((512, 256) if nhfl <= 512
+                                    else (256, 128))
+                    if nhfl <= 512 and rem_e7 <= 500_000:
+                        v5_nb = 512
+                    num2, den2, cap2, _c2 = fsa.v5_sweep1_parts(
+                        h_flat, a_src, s_dst_eff,
+                        mk(rem_e7, r2),
+                        bl.rem_send, bl.rem_recv, bl.rem_order,
+                        jnp.int32(bl.rem_e), num_nodes, nh, f, 1e-8,
+                        cfg.slope, v5_eb, v5_nb, interpret)
                 cap = jnp.maximum(cap1, cap2)
                 epsp = 1e-8 * jnp.exp(cfg.slope * cap)
                 den = den1 + den2
@@ -611,8 +663,7 @@ def gat_layer_apply(params: Params,
             inv = jnp.where(den > 0.0, 1.0 / (den + epsp), 0.0)
             out_local = (num.reshape(rows, nh, f)
                          * inv[:, :, None]).reshape(rows, nh * f)
-            out = jax.lax.all_gather(out_local, edge_axis, axis=0,
-                                     tiled=True)
+            out = _ag_tiled(out_local, edge_axis)
             if cfg.concat:
                 out = out.reshape(num_nodes, nh * f)
             else:
@@ -711,8 +762,7 @@ def gat_layer_apply(params: Params,
                 h_flat, a_src, s_dst_local, cap, drop_mask, senders,
                 recv_local, src_order, e_real, rows, nh, f, 1e-8,
                 cfg.slope, v5_eb, v5_nb, interpret, num_nodes)
-        out = jax.lax.all_gather(out_local, edge_axis, axis=0,
-                                 tiled=True)
+        out = _ag_tiled(out_local, edge_axis)
         if cfg.concat:
             out = out.reshape(num_nodes, nh * f)
         else:
@@ -846,8 +896,7 @@ def gat_layer_apply(params: Params,
                 masked_logits, h_flat, senders, recv_local, drop_mask,
                 src_order, rows, nh, f, eps, 1024, 256, interpret,
                 num_nodes, (edge_axis,))
-            out = jax.lax.all_gather(out_local, edge_axis, axis=0,
-                                     tiled=True)
+            out = _ag_tiled(out_local, edge_axis)
         else:
             h_src_flat = seg.gather_rows(h_flat, senders)     # (E, NH*F)
             num, denom = fsa.fused_segment_attention_partial(
@@ -921,7 +970,7 @@ def gat_layer_apply(params: Params,
     out = seg.segment_sum(weighted, recv_eff, n_eff)          # (N, NH, F)
     if edge_axis is not None:
         if dst_owned:
-            out = jax.lax.all_gather(out, edge_axis, axis=0, tiled=True)
+            out = _ag_tiled(out, edge_axis)
         else:
             out = jax.lax.psum(out, edge_axis)
 

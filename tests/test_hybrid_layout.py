@@ -90,10 +90,13 @@ def test_hybrid_layout_monotone_bases():
     assert int(np.diff(tb).max() if tb.size > 1 else 0) + 8 <= bl.dmax
 
 
-@pytest.mark.parametrize("dropout", [0.0])
-def test_hybrid_forward_and_grads_match_xla(monkeypatch, dropout):
+@pytest.mark.parametrize("rem_path", ["xla", "v5"])
+def test_hybrid_forward_and_grads_match_xla(monkeypatch, rem_path):
     monkeypatch.setenv("GAT_TPU_V6", "1")
     monkeypatch.setenv("GAT_TPU_V6_DTYPE", "float32")
+    if rem_path == "v5":
+        # force the LARGE-remainder branch (v5_sweep1_parts kernel)
+        monkeypatch.setenv("GAT_TPU_HYBRID_REM_XLA_MAX", "0")
     x, s, r = make_clustered_graph(seed=4)
     g = T.canonicalize(x, s, r, reorder="cluster", src_windows=True,
                        hybrid=True)
@@ -117,7 +120,11 @@ def test_hybrid_forward_and_grads_match_xla(monkeypatch, dropout):
 
     want_l, want_g = jax.value_and_grad(loss)(params, "xla")
     got_l, got_g = jax.value_and_grad(loss)(params, "pallas")
-    assert "v7" in calls and "v5" in calls, calls
+    # small remainders ride plain XLA segment ops (fixed Mosaic launch
+    # costs measured away the win); the v5 kernel takes over past
+    # GAT_TPU_HYBRID_REM_XLA_MAX
+    assert "v7" in calls, calls
+    assert ("v5" in calls) == (rem_path == "v5"), calls
     np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
     for (path, a), (_, b) in zip(
             jax.tree_util.tree_leaves_with_path(got_g),

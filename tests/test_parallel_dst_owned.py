@@ -562,3 +562,37 @@ def test_dst_owned_v7_windowed_train_step_matches_unsharded(monkeypatch):
                     jax.tree_util.tree_leaves(params_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_dst_owned_bf16_transport_close_to_f32(monkeypatch):
+    """GAT_TPU_AG_DTYPE=bfloat16: the between-layer all_gather carries
+    bf16-rounded activations (the wire dtype itself is backend-dependent
+    — CPU XLA re-widens; values are pinned either way). Output must
+    match the f32 path within bf16 rounding, and gradients stay finite
+    and close."""
+    from jax.sharding import PartitionSpec as P
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    cfg = tiny_cfg()
+    g = make_graph(seed=30)
+    g2, _ = partition_edges_by_dst(g, k, pad_multiple=32)
+    params = gat.init_gat_model(jax.random.key(20), cfg)
+
+    def run():
+        def body(p, graph):
+            return gat.gat_model_apply(p, cfg, graph, training=False,
+                                       edge_axis="edge", dst_owned=True,
+                                       backend="xla")
+        return jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), _specs_for(g2)),
+            out_specs=P(), check_vma=False))(params, g2)
+
+    want = run()
+    monkeypatch.setenv("GAT_TPU_AG_DTYPE", "bfloat16")
+    got = run()
+    # bf16 has 8 mantissa bits -> ~4e-3 relative on one rounding plus
+    # downstream amplification through layer 2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.05, atol=0.02)
+    assert not np.array_equal(np.asarray(got), np.asarray(want)), \
+        "bf16 transport must actually round (env plumbed through)"
