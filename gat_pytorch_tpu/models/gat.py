@@ -376,13 +376,19 @@ def gat_layer_apply(params: Params,
             w = bl.window
         elif src_band > 0 and tile_lo is not None:
             w = min(((src_band + 7) // 8) * 8, n_rows8)
+        # v12 n-pack (ops/pallas _pair_slot): the packed window divides
+        # both the VMEM footprint and the per-edge contraction cost by
+        # the pack factor — gate on the EFFECTIVE sizes
+        _slot = (fsw._pair_slot(nh * f)
+                 if use_v7 and fsw._v10_sweep1() else 0)
+        _npk = (128 // _slot) if _slot else 1
         # VMEM gate: backward scratch is 4 window copies f32
         # (2x double-buffered stream + d-accumulator + readback)
         budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB", "10")) * 2**20
         # resident (whole-table) windows need half the scratch: one wbuf
         # slot + the dwin accumulator, no per-tile readback buffer
         per_row = 8 if w >= n_rows8 else 16
-        fits = per_row * w * nhfl <= budget
+        fits = per_row * (w // _npk) * nhfl <= budget
         # auto gate: the one-hot gather/scatter contractions cost
         # O(wb * nhfl) MXU flops PER EDGE (w*nhfl without a block
         # layout), so v6 only beats v5's 4 KB/row random-crossing tax
@@ -392,7 +398,7 @@ def gat_layer_apply(params: Params,
         # the full train step. Auto therefore requires a BANDED
         # certification and an effective window below ~200k lanes;
         # GAT_TPU_V6=1 forces on anywhere (e.g. for A/B runs).
-        w_eff = bl.wb if use_v7 else w
+        w_eff = (bl.wb // _npk) if use_v7 else w
         narrow = ((use_v7 or tile_lo is not None) and w_eff < n_rows8
                   and w_eff * nhfl <= int(_os.environ.get(
                       "GAT_TPU_V6_MAX_WL", str(200 * 1024))))
@@ -469,14 +475,24 @@ def gat_layer_apply(params: Params,
                     # dropout mask, den does not (dropout is applied to
                     # the NORMALISED alpha in the reference).
                     rem_mask = jnp.arange(rem_e7) < bl.rem_e
+                    # sorted-transpose gathers: the plain take's VJP is
+                    # an UNSORTED XLA scatter-add — measured +1.1 ms on
+                    # the 14.5k-edge Pubmed remainder (probe_pubmed
+                    # round 4), 3 of them erasing the hybrid win.
+                    # rem_recv is dst-sorted; rem_send routes through
+                    # rem_order.
                     # s_dst_eff is already B-shifted — raw2 = raw - B
-                    raw2 = (seg.gather_rows(s_both[:, :nh], bl.rem_send)
-                            + seg.gather_rows(s_dst_eff, bl.rem_recv))
+                    raw2 = (seg.gather_rows_sorted_grad(
+                                s_both[:, :nh], bl.rem_send, num_nodes,
+                                bl.rem_order)
+                            + seg.gather_rows_sorted_grad(
+                                s_dst_eff, bl.rem_recv, num_nodes))
                     ex2 = jnp.where(rem_mask[:, None],
                                     jnp.exp(cfg.slope * raw2), 0.0)
                     m2 = mk(rem_e7, r2)
                     exm2 = ex2 if m2 is None else ex2 * m2
-                    h_src2 = seg.gather_rows(h_flat, bl.rem_send)
+                    h_src2 = seg.gather_rows_sorted_grad(
+                        h_flat, bl.rem_send, num_nodes, bl.rem_order)
                     num2 = seg.segment_sum(
                         (h_src2.reshape(rem_e7, nh, f)
                          * exm2[:, :, None]).reshape(rem_e7, nh * f),
@@ -613,8 +629,10 @@ def gat_layer_apply(params: Params,
         bl = block_layout
         nhfl = ((nh * f + 127) // 128) * 128
         budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB", "10")) * 2**20
-        fits = 16 * bl.window * nhfl <= budget
-        narrow = bl.wb * nhfl <= int(_os.environ.get(
+        _slot = fsw._pair_slot(nh * f) if fsw._v10_sweep1() else 0
+        _npk = (128 // _slot) if _slot else 1
+        fits = 16 * (bl.window // _npk) * nhfl <= budget
+        narrow = (bl.wb // _npk) * nhfl <= int(_os.environ.get(
             "GAT_TPU_V6_MAX_WL", str(200 * 1024)))
         if fits and (_v6_env == "1"
                      or (_v6_env == "auto" and narrow)):

@@ -126,6 +126,26 @@ def _expander(nh8, nhf8, nh, f):
             & (rows < nh) & (cols < nh * f)).astype(jnp.float32)
 
 
+def _pair_slot(nhf: int) -> int:
+    """v12 n-pack window packing (round 4, VERDICT r3 item 4): when a
+    layer's nh*f fits in <= 64 lanes, the node table packs 128//slot
+    nodes per 128-lane row (a free XLA reshape), the window one-hot
+    indexes PACK rows, and a per-edge sub-index mask selects the slot —
+    the window stream, one-hot construction, and gather/scatter
+    contractions all shrink by the pack factor (2x for Cora/Pubmed
+    layer 1's nhf=64, 16x for Cora layer 2's nhf=7). Returns the slot
+    width (a divisor of 128, multiple of 8, >= round8(nhf)); 0 = no
+    packing (nhf > 64). GAT_TPU_V12=0 disables."""
+    import os
+    if os.environ.get("GAT_TPU_V12", "1") == "0":
+        return 0
+    nhf8 = _round_up(nhf, 8)
+    for slot in (8, 16, 32, 64):
+        if nhf8 <= slot:
+            return slot
+    return 0
+
+
 def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                base_ref,           # (T,) int32: per-tile window base (8-al.)
                bbase_ref,          # (G,) int32 per-BLOCK window base (v7;
@@ -141,7 +161,8 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                nhf8: int, nhfl: int, w: int, eps: float, slope: float,
                with_dropout: bool, resident: bool, wb: int = 0,
                dmak: int = 4, ablate: frozenset = frozenset(),
-               sweep1: bool = False, gstream: bool = False):
+               sweep1: bool = False, gstream: bool = False,
+               pair: int = 0):
     # wb > 0 selects the v7 BLOCK-LOCAL window mode (Graph.block_layout):
     # tile offsets are eb-aligned (no shared overlap blocks) and every
     # edge block's one-hot/gather/scatter contractions run against a
@@ -370,7 +391,53 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
         recv_at = nh8 if with_dropout else 0
         recv_row = meta[recv_at:recv_at + 1, :]             # (1, EB)
         src_row = meta[recv_at + 1:recv_at + 2, :]          # (1, EB)
-        wt_blk, ss_win, wrow0, wn = block_window(b)
+        wt_blk, ss_win, wrow0, wn = block_window(
+            b, need_scores=not pair)
+        if pair:
+            # v12 n-pack: the window holds 128//pair nodes per row; the
+            # one-hot indexes PACK rows, the gather runs at wn=wb/npack
+            # rows, and a per-edge sub-index mask selects the slot. The
+            # gather must happen HERE (scores derive from the selected
+            # rows instead of a window score table). floor(s/npack) and
+            # the remainder are exact in f32 below 2^24 (npack is a
+            # power of two).
+            npack = 128 // pair
+            src_pk = jnp.floor(src_row * (1.0 / npack))
+            sub = src_row - src_pk * npack                  # (1, EB)
+            if "onehot" in ablate:
+                onehot_dst = jnp.full((nb, eb), 1e-3, jnp.float32)
+                onehot_w = jnp.full((wn, eb), 1e-3, jnp.float32)
+            else:
+                onehot_dst = ((recv_row - (ti * nb).astype(jnp.float32))
+                              == rows_nb_f).astype(jnp.float32)
+                onehot_w = ((src_pk - wrow0)
+                            == rows_wb_f).astype(jnp.float32)
+            dt = _v6_dtype()
+            if "gather" in ablate:
+                gathered = jnp.zeros((nhfl, eb), jnp.float32)
+            else:
+                gathered = jax.lax.dot_general(
+                    wt_blk.astype(dt), onehot_w.astype(dt),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (128, EB)
+            h_sel = None
+            for k in range(npack):
+                m = (sub == float(k)).astype(jnp.float32)
+                piece = gathered[k * pair:(k + 1) * pair, :] * m
+                h_sel = piece if h_sel is None else h_sel + piece
+            if "scores" in ablate:
+                s_src = jnp.zeros((nh8, eb), jnp.float32)
+                s_dst_e = jnp.zeros((nh8, eb), jnp.float32)
+            else:
+                s_src = jax.lax.dot_general(
+                    a_src_t[:pair], h_sel, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (NH8, EB)
+                s_dst_e = jax.lax.dot_general(
+                    s_dst_ref[:], onehot_dst, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            col = start + jax.lax.broadcasted_iota(jnp.int32, (1, eb), 1)
+            return (meta, recv_row, onehot_dst, onehot_w, s_src,
+                    s_dst_e, col, h_sel)
         if "onehot" in ablate:
             onehot_dst = jnp.full((nb, eb), 1e-3, jnp.float32)
             onehot_w = jnp.full((wn, eb), 1e-3, jnp.float32)
@@ -479,7 +546,10 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
             dt = _v6_dtype()
             ex = jnp.exp(slope * raw)
             ex = jnp.where(col < e_real, ex, 0.0)           # (NH8, EB)
-            if "gather" in ablate:
+            if pair:
+                # v12: edge_inputs already gathered + slot-selected
+                gathered_t = _wsl                           # (PAIR, EB)
+            elif "gather" in ablate:
                 gathered_t = jnp.zeros((nhfl, eb), jnp.float32)
             else:
                 gathered_t = jax.lax.dot_general(
@@ -738,13 +808,14 @@ def _v6_prep(h_flat, a_src, senders, receivers, tile_lo, num_nodes,
 def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
                 num_nodes, nh, f, *, eps, slope, eb, nb, window,
                 interpret, with_dropout, block_base=None, tile_ptr=None,
-                wb=0, sweep1=False, gstream=False):
+                wb=0, sweep1=False, gstream=False, pair=0):
     dmak = _dmak()
     t = pl.cdiv(num_nodes, nb)
     n_pad = t * nb
     nh8 = _round_up(nh, 8)
     nhf8 = _round_up(nh * f, 8)
     nhfl = h8.shape[1]
+    gprows = pair or nhfl              # gathered-payload stream rows
     resident = window == h8.shape[0]   # whole table in VMEM, one DMA
 
     s_dst_t = jnp.pad(s_dst.T, ((0, nh8 - nh), (0, n_pad - num_nodes)))
@@ -793,14 +864,15 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
         ] + ([pltpu.VMEM((2, meta.shape[0] + nh8, dmak * eb),
                          jnp.float32),                          # cbuf
               pltpu.SemaphoreType.DMA((2,))] if wb else [])
-          + ([pltpu.VMEM((2, nhfl, dmak * eb), jnp.bfloat16),   # gbuf
+          + ([pltpu.VMEM((2, gprows, dmak * eb), jnp.bfloat16),  # gbuf
               pltpu.SemaphoreType.DMA((2,))] if gstream else []),
     )
     kernel = functools.partial(
         _kernel_v6, eb=eb, nb=nb, nh=nh, f=f, nh8=nh8, nhf8=nhf8,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
         with_dropout=with_dropout, resident=resident, wb=wb,
-        dmak=dmak, ablate=_ablate(), sweep1=sweep1, gstream=gstream)
+        dmak=dmak, ablate=_ablate(), sweep1=sweep1, gstream=gstream,
+        pair=pair)
     e = receivers.shape[0]
     outs = pl.pallas_call(
         kernel,
@@ -812,7 +884,7 @@ def _forward_v6(h8, meta, a_pad, s_dst, base, receivers, e_real,
         ] + ([jax.ShapeDtypeStruct((meta.shape[0] + nh8, meta.shape[1]),
                                    jnp.float32)]                # comb
              if wb else [])
-          + ([jax.ShapeDtypeStruct((nhfl, meta.shape[1]),
+          + ([jax.ShapeDtypeStruct((gprows, meta.shape[1]),
                                    jnp.bfloat16)]               # gpay
              if gstream else []),
         cost_estimate=pl.CostEstimate(
@@ -852,7 +924,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                    wb: int = 0, dmax: int = -1, dmak: int = 4,
                    ablate: frozenset = frozenset(),
                    sweep1: bool = False, gstream: bool = False,
-                   normalize: bool = True):
+                   normalize: bool = True, pair: int = 0):
     v7 = wb > 0                       # block-local windows (see _kernel_v6)
     sliding = dmax >= 0               # sliding d(h) accumulator (v7 only)
     # v7 runs the v8 raw-score pipeline: the forward saved a COMBINED
@@ -1121,8 +1193,17 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             # run at dt with f32 accumulation (exact in f32 mode)
             onehot_dst = ((recv_row - (i * nb).astype(jnp.float32))
                           == rows_nb_f).astype(dt)           # (NB, EB)
-            onehot_w_dt = ((src_row - wrow0)
-                           == rows_wb_f).astype(dt)          # (WN, EB)
+            if pair:
+                # v12: window rows are 128//pair-node PACKS (see
+                # _kernel_v6.edge_inputs pair path)
+                npack = 128 // pair
+                src_pk = jnp.floor(src_row * (1.0 / npack))
+                sub = src_row - src_pk * npack               # (1, EB)
+                onehot_w_dt = ((src_pk - wrow0)
+                               == rows_wb_f).astype(dt)      # (WN, EB)
+            else:
+                onehot_w_dt = ((src_row - wrow0)
+                               == rows_wb_f).astype(dt)      # (WN, EB)
             onehot_w = None
         else:
             rows = (i * nb
@@ -1159,15 +1240,24 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         ex = jnp.where(in_range, ex, 0.0)
 
         if "gather" in ablate:
-            gathered_t = jnp.zeros((nhfl, eb), jnp.float32)
+            gathered_t = jnp.zeros((pair or nhfl, eb), jnp.float32)
         elif gstream:
+            # v11 stream already carries the slot-selected rows when
+            # pair (the forward wrote h_sel)
             gathered_t = gbuf[slotg, :, pl.ds(joff, eb)
-                              ].astype(jnp.float32)         # (NHFL, EB)
+                              ].astype(jnp.float32)   # (PAIR|NHFL, EB)
         else:
             gathered_t = jax.lax.dot_general(
                 wt_blk.astype(dt), onehot_w_dt,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)         # (NHFL, EB)
+            if pair:
+                sel = None
+                for k in range(128 // pair):
+                    mk_ = (sub == float(k)).astype(jnp.float32)
+                    piece = gathered_t[k * pair:(k + 1) * pair, :] * mk_
+                    sel = piece if sel is None else sel + piece
+                gathered_t = sel                             # (PAIR, EB)
         h_t = gathered_t[:nhf8]
 
         payload = payload_tile
@@ -1214,14 +1304,29 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             pre > 0.0, d_lg, slope * d_lg)
         d_raw = jnp.where(in_range, d_pre, 0.0)             # (NH8, EB)
 
-        d_h_att = jax.lax.dot_general(
-            a_src_t, d_raw, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (NHFL, EB)
-        if nhf8 == nhfl:
-            d_h_full = d_h_att + d_h_feat
-        else:
+        if pair:
+            d_h_att = jax.lax.dot_general(
+                a_src_t[:pair], d_raw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (PAIR, EB)
+            if nhf8 == pair:
+                d_h_sel = d_h_att + d_h_feat
+            else:
+                d_h_sel = jnp.concatenate(
+                    [d_h_att[:nhf8] + d_h_feat, d_h_att[nhf8:]], axis=0)
+            # re-pack the selected cotangent into the slot its node
+            # occupies (the scatter's transpose of the slot selection)
             d_h_full = jnp.concatenate(
-                [d_h_att[:nhf8] + d_h_feat, d_h_att[nhf8:]], axis=0)
+                [d_h_sel * (sub == float(k)).astype(jnp.float32)
+                 for k in range(128 // pair)], axis=0)       # (128, EB)
+        else:
+            d_h_att = jax.lax.dot_general(
+                a_src_t, d_raw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (NHFL, EB)
+            if nhf8 == nhfl:
+                d_h_full = d_h_att + d_h_feat
+            else:
+                d_h_full = jnp.concatenate(
+                    [d_h_att[:nhf8] + d_h_feat, d_h_att[nhf8:]], axis=0)
 
         # d(h) scattered into the WINDOW accumulator — the one-hot's
         # transpose is the scatter (no permute, no sorted-segment pass).
@@ -1241,10 +1346,13 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                 d_raw.astype(dt) if v7 else d_raw, onehot_dst,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)         # (NH8, NB)
-            dasrc_ref[:] += jax.lax.dot_general(
+            das = jax.lax.dot_general(
                 gathered_t.astype(dt), d_raw.astype(dt),
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (NHFL, NH8)
+                preferred_element_type=jnp.float32)   # (PAIR|NHFL, NH8)
+            if pair and pair < nhfl:
+                das = jnp.pad(das, ((0, nhfl - pair), (0, 0)))
+            dasrc_ref[:] += das
         if not sweep1:
             # legacy 2-phase: the cap cotangent is -sum(d_raw); sweep1
             # computes d(cap) in the XLA epilogue (eps' chain) instead
@@ -1362,7 +1470,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
                 window: int, with_dropout: bool, interpret: bool,
                 block_base=None, tile_ptr=None, wb: int = 0,
                 comb=None, dmax: int = -1, sweep1: bool = False,
-                gpay=None, normalize: bool = True):
+                gpay=None, normalize: bool = True, pair: int = 0):
     """Returns (d_table (N_rows, NHFL), d_drop (NH8, E_cols),
     d_sdst_t (NH8, N_pad), d_apad (NHFL, NH8), d_cap (8, 128)).
     sweep1: `cap` holds eps' = eps*exp(slope*cap') and `denom` the
@@ -1461,7 +1569,8 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
         ] + ([pltpu.VMEM((2, meta.shape[0] + nh8, dmak * eb),
                          jnp.float32),                          # cbuf
               pltpu.SemaphoreType.DMA((2,))] if wb else [])
-          + ([pltpu.VMEM((2, nhfl, dmak * eb), jnp.bfloat16),   # gbuf
+          + ([pltpu.VMEM((2, pair or nhfl, dmak * eb),
+                         jnp.bfloat16),                        # gbuf
               pltpu.SemaphoreType.DMA((2,))] if gstream else [])
           + ([pltpu.VMEM((dmax, nhfl), jnp.float32)]            # stage
              if sliding else []),
@@ -1471,7 +1580,7 @@ def backward_v6(h8, meta, a_pad, s_dst, cap, base, receivers, e_real,
         nhfl=nhfl, w=window, eps=eps, slope=slope,
         with_dropout=with_dropout, resident=resident, wb=wb,
         dmax=dmax if sliding else -1, dmak=dmak, ablate=_ablate(),
-        sweep1=sweep1, gstream=gstream, normalize=normalize)
+        sweep1=sweep1, gstream=gstream, normalize=normalize, pair=pair)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1598,6 +1707,47 @@ def _v10_sweep1() -> bool:
     return os.environ.get("GAT_TPU_V10", "1") != "0"
 
 
+def _v12_statics(window: int, wb: int, dmax: int, slot: int):
+    """Pack-row-unit statics for the v12 packed window (pure function
+    of ints — the custom_vjp fwd and bwd must derive identical values
+    from the nondiff args)."""
+    npack = 128 // slot
+    w2 = max(128, _round_up(-(-window // npack), 128))
+    wb2 = max(128, _round_up(-(-wb // npack), 128))
+    dmax2 = -1 if dmax < 0 else _round_up(dmax // npack + 8, 8)
+    return w2, wb2, dmax2, npack
+
+
+def _v12_prep(h_flat, a_src, tile_base, block_base, nh, f,
+              window, wb, dmax):
+    """v12 twin of _v7_prep: pack the node table 128//slot nodes per
+    128-lane row (a free reshape when nh*f == slot) and convert the
+    layout's bases to pack-row units. Layout arrays stay in NODE units
+    on the Graph; the conversion happens here so the same BlockLayout
+    serves both modes."""
+    slot = _pair_slot(nh * f)
+    nhf = nh * f
+    nh8 = _round_up(nh, 8)
+    w2, wb2, dmax2, npack = _v12_statics(window, wb, dmax, slot)
+    h64 = h_flat if nhf == slot else jnp.pad(
+        h_flat, ((0, 0), (0, slot - nhf)))
+    n = h64.shape[0]
+    n_up = _round_up(n, npack)
+    if n_up != n:
+        h64 = jnp.pad(h64, ((0, n_up - n), (0, 0)))
+    h2 = h64.reshape(n_up // npack, 128)
+    n_rows = h2.shape[0]
+    if n_rows < w2:
+        h2 = jnp.pad(h2, ((0, w2 - n_rows), (0, 0)))
+        n_rows = w2
+    a_pad = jnp.pad(a_src, ((0, 128 - a_src.shape[0]),
+                            (0, nh8 - a_src.shape[1])))
+    base2 = jnp.minimum(jnp.maximum(
+        tile_base.astype(jnp.int32) // npack, 0), n_rows - w2)
+    bbase2 = block_base.astype(jnp.int32) // npack
+    return h2, a_pad, base2, bbase2, w2, wb2, dmax2, slot
+
+
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17,
                                     18, 19, 20))
@@ -1651,8 +1801,17 @@ def _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
     else:
         s_dst_eff = s_dst
     nh8 = _round_up(nh, 8)
-    h8, a_pad, base, nh8, nhfl, n_rows = _v7_prep(
-        h_flat, a_src, tile_base, nh, f, window)
+    # v12 packed window (pair > 0): nh*f <= 64, node table packed
+    # 128//pair nodes per row, layout bases converted to pack units
+    pair = _pair_slot(nh * f) if sweep1 else 0
+    if pair:
+        h8, a_pad, base, bbase, w_eff, wb_eff, dmax_eff, pair = \
+            _v12_prep(h_flat, a_src, tile_base, block_base, nh, f,
+                      window, wb, dmax)
+    else:
+        h8, a_pad, base, nh8, nhfl, n_rows = _v7_prep(
+            h_flat, a_src, tile_base, nh, f, window)
+        bbase, w_eff, wb_eff, dmax_eff = block_base, window, wb, dmax
     # pad to the grouped-DMA overhang (a tile's last dmak-block group
     # read/write may extend up to dmak*eb columns past its edge range)
     meta = _pack_meta_v6(drop_mask, receivers, senders, nh8,
@@ -1661,17 +1820,18 @@ def _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
     e7 = jnp.int32(senders.shape[0])
     # v11 gathered-payload stream: only meaningful in the bf16
     # contraction mode (where it is bit-identical to the backward's
-    # own gather — exact bf16 selection); the f32 parity mode keeps the
-    # recompute. GAT_TPU_V11=0 disables.
+    # own gather — exact bf16 selection; under v12 the stream carries
+    # the slot-SELECTED rows, still an exact selection); the f32 parity
+    # mode keeps the recompute. GAT_TPU_V11=0 disables.
     import os as _os
     gstream = (sweep1 and _v6_dtype() == jnp.bfloat16
                and _os.environ.get("GAT_TPU_V11", "1") != "0")
     out, denom, cap, code, comb, gpay = _forward_v6(
         h8, meta, a_pad, s_dst_eff, base, receivers, e7, num_nodes,
-        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
+        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=w_eff,
         interpret=interpret, with_dropout=with_dropout,
-        block_base=block_base, tile_ptr=tile_ptr, wb=wb, sweep1=sweep1,
-        gstream=gstream)
+        block_base=bbase, tile_ptr=tile_ptr, wb=wb_eff, sweep1=sweep1,
+        gstream=gstream, pair=pair)
     epsp = None
     if sweep1:
         # out/denom are UNNORMALISED [num | den]; cap is cap' = max of
@@ -1684,7 +1844,7 @@ def _fgw7_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
                * inv[:, :, None]).reshape(num_nodes, nh * f)
     return out, (h8, meta, a_pad, s_dst_eff, base, cap, code, senders,
                  receivers, denom, out, with_dropout, h_flat.shape[0],
-                 block_base, tile_ptr, comb, sweep1, epsp, gpay)
+                 bbase, tile_ptr, comb, sweep1, epsp, gpay)
 
 
 def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
@@ -1694,6 +1854,12 @@ def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
      sweep1, epsp, gpay) = res
     e = receivers.shape[0]
     nh8 = _round_up(nh, 8)
+    pair = _pair_slot(nh * f) if sweep1 else 0
+    if pair:
+        w_eff, wb_eff, dmax_eff, _np_ = _v12_statics(window, wb, dmax,
+                                                     pair)
+    else:
+        w_eff, wb_eff, dmax_eff = window, wb, dmax
     # sweep1: the kernel's SMEM scalar slot carries eps' (effective
     # epilogue eps) instead of the cap, and denom is the unnormalised
     # den' — see backward_v6 docstring
@@ -1701,9 +1867,13 @@ def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
     d_table, d_drop_t, d_sdst_t, d_apad, d_cap = backward_v6(
         h8, meta, a_pad, s_dst, scalar, base, receivers, jnp.int32(e),
         g, out, denom, num_nodes, nh, f, eps=eps, slope=slope, eb=eb,
-        nb=nb, window=window, with_dropout=with_dropout,
+        nb=nb, window=w_eff, with_dropout=with_dropout,
         interpret=interpret, block_base=block_base, tile_ptr=tile_ptr,
-        wb=wb, comb=comb, dmax=dmax, sweep1=sweep1, gpay=gpay)
+        wb=wb_eff, comb=comb, dmax=dmax_eff, sweep1=sweep1, gpay=gpay,
+        pair=pair)
+    if pair:
+        # unpack the pack-row d(h) table back to node rows
+        d_table = d_table.reshape(-1, pair)
     d_h_flat = d_table[:n_orig, :nh * f]
     d_a_src = d_apad[:nh * f, :nh]
     d_s_dst = d_sdst_t[:nh].T[:num_nodes]
@@ -1723,7 +1893,15 @@ def _fgw7_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
     hidx = code % nh8
     src_star = jnp.take(senders, eidx)
     dst_star = jnp.take(receivers, eidx)
-    hrow = jnp.take(h8, src_star, axis=0)[:nh * f].astype(jnp.float32)
+    if pair:
+        npk = 128 // pair
+        prow = jnp.take(h8, src_star // npk, axis=0)
+        hrow = jax.lax.dynamic_slice(
+            prow, ((src_star % npk) * pair,), (pair,))[:nh * f
+                                                       ].astype(jnp.float32)
+    else:
+        hrow = jnp.take(h8, src_star, axis=0)[:nh * f
+                                              ].astype(jnp.float32)
     acol = jnp.take(a_pad, hidx, axis=1)[:nh * f].astype(jnp.float32)
     d_h_flat = d_h_flat.at[src_star].add(dc * acol)
     d_a_src = d_a_src.at[:, hidx].add(dc * hrow)
@@ -1779,8 +1957,16 @@ def _v7sp_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
               block_base, tile_ptr, tile_base,
               num_nodes, nh, f, window, wb, eps, slope, eb, nb,
               interpret, dmax):
-    h8, a_pad, base, nh8, nhfl, n_rows = _v7_prep(
-        h_flat, a_src, tile_base, nh, f, window)
+    nh8 = _round_up(nh, 8)
+    pair = _pair_slot(nh * f)
+    if pair:
+        h8, a_pad, base, bbase, w_eff, wb_eff, dmax_eff, pair = \
+            _v12_prep(h_flat, a_src, tile_base, block_base, nh, f,
+                      window, wb, dmax)
+    else:
+        h8, a_pad, base, nh8, nhfl, n_rows = _v7_prep(
+            h_flat, a_src, tile_base, nh, f, window)
+        bbase, w_eff, wb_eff = block_base, window, wb
     meta = _pack_meta_v6(drop_mask, receivers, senders, nh8,
                          _dmak() * eb)
     with_dropout = drop_mask is not None
@@ -1790,13 +1976,13 @@ def _v7sp_fwd(h_flat, a_src, s_dst, drop_mask, senders, receivers,
                and _os.environ.get("GAT_TPU_V11", "1") != "0")
     num, den, cap, code, comb, gpay = _forward_v6(
         h8, meta, a_pad, s_dst, base, receivers, e7, num_nodes,
-        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
+        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=w_eff,
         interpret=interpret, with_dropout=with_dropout,
-        block_base=block_base, tile_ptr=tile_ptr, wb=wb, sweep1=True,
-        gstream=gstream)
+        block_base=bbase, tile_ptr=tile_ptr, wb=wb_eff, sweep1=True,
+        gstream=gstream, pair=pair)
     return ((num, den, cap, code),
             (h8, meta, a_pad, s_dst, base, code, senders, receivers,
-             with_dropout, h_flat.shape[0], block_base, tile_ptr, comb,
+             with_dropout, h_flat.shape[0], bbase, tile_ptr, comb,
              gpay))
 
 
@@ -1807,13 +1993,22 @@ def _v7sp_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
     d_num, d_den, d_cap_in, _d_code = ct
     e = receivers.shape[0]
     nh8 = _round_up(nh, 8)
+    pair = _pair_slot(nh * f)
+    if pair:
+        w_eff, wb_eff, dmax_eff, _np_ = _v12_statics(window, wb, dmax,
+                                                     pair)
+    else:
+        w_eff, wb_eff, dmax_eff = window, wb, dmax
     d_table, d_drop_t, d_sdst_t, d_apad, _unused = backward_v6(
         h8, meta, a_pad, s_dst, jnp.float32(0.0), base, receivers,
         jnp.int32(e), d_num, jnp.zeros_like(d_num), d_den, num_nodes,
-        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=window,
+        nh, f, eps=eps, slope=slope, eb=eb, nb=nb, window=w_eff,
         with_dropout=with_dropout, interpret=interpret,
-        block_base=block_base, tile_ptr=tile_ptr, wb=wb, comb=comb,
-        dmax=dmax, sweep1=True, gpay=gpay, normalize=False)
+        block_base=block_base, tile_ptr=tile_ptr, wb=wb_eff, comb=comb,
+        dmax=dmax_eff, sweep1=True, gpay=gpay, normalize=False,
+        pair=pair)
+    if pair:
+        d_table = d_table.reshape(-1, pair)
     d_h_flat = d_table[:n_orig, :nh * f]
     d_a_src = d_apad[:nh * f, :nh]
     d_s_dst = d_sdst_t[:nh].T[:num_nodes]
@@ -1826,7 +2021,15 @@ def _v7sp_bwd(num_nodes, nh, f, window, wb, eps, slope, eb, nb,
     hidx = code % nh8
     src_star = jnp.take(senders, eidx)
     dst_star = jnp.take(receivers, eidx)
-    hrow = jnp.take(h8, src_star, axis=0)[:nh * f].astype(jnp.float32)
+    if pair:
+        npk = 128 // pair
+        prow = jnp.take(h8, src_star // npk, axis=0)
+        hrow = jax.lax.dynamic_slice(
+            prow, ((src_star % npk) * pair,), (pair,))[:nh * f
+                                                       ].astype(jnp.float32)
+    else:
+        hrow = jnp.take(h8, src_star, axis=0)[:nh * f
+                                              ].astype(jnp.float32)
     acol = jnp.take(a_pad, hidx, axis=1)[:nh * f].astype(jnp.float32)
     d_h_flat = d_h_flat.at[src_star].add(dc * acol)
     d_a_src = d_a_src.at[:, hidx].add(dc * hrow)

@@ -582,3 +582,50 @@ def test_v11_stream_matches_recompute(monkeypatch, dmak):
     for a, b, nm in zip(g1, g0, ("h", "a_src", "s_dst", "drop")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=nm)
+
+
+@pytest.mark.parametrize("nh,f", [(8, 8), (2, 8), (1, 7)])
+def test_v12_packed_window_parity(monkeypatch, nh, f):
+    """v12 n-pack window packing (round 4): layers with nh*f <= 64 pack
+    128//slot nodes per 128-lane window row (slot 64/16/8 here); output
+    AND gradients must match the XLA path bit-for-tolerance, and the
+    pack gate must actually engage (GAT_TPU_V12=0 A/B)."""
+    import numpy as np
+
+    from gat_pytorch_tpu.graph import transforms as T
+    from gat_pytorch_tpu.models import gat
+    from gat_pytorch_tpu.ops.pallas.segment_attention_window import \
+        _pair_slot
+    monkeypatch.setenv("GAT_TPU_V6", "1")
+    monkeypatch.setenv("GAT_TPU_V6_DTYPE", "float32")
+    assert _pair_slot(nh * f) > 0
+
+    rng = np.random.default_rng(7)
+    n, f_in = 400, 12
+    s = np.repeat(np.arange(n), 4)
+    r = np.clip(s + rng.integers(-30, 30, n * 4), 0, n - 1)
+    x = rng.normal(size=(n, f_in)).astype(np.float32)
+    g = T.canonicalize(x, s, r, src_windows=True, pad_multiple=128)
+    cfg = gat.GATConfig(
+        num_input_node_features=f_in, num_layers=1,
+        num_heads_per_layer=[nh], heads_concat_per_layer=[True],
+        head_output_features_per_layer=[f_in, f], num_classes=nh * f,
+        add_skip_connection=[False], dropout=0.0)
+    params = gat.init_gat_model(jax.random.key(1), cfg)
+
+    def loss(p, backend):
+        o = gat.gat_model_apply(p, cfg, g, training=False,
+                                backend=backend)
+        return jnp.mean(o ** 2), o
+
+    (lw, want), gw = jax.value_and_grad(loss, has_aux=True)(params, "xla")
+    (lp, got), gp = jax.value_and_grad(loss, has_aux=True)(params,
+                                                           "pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gp),
+            jax.tree_util.tree_leaves_with_path(gw)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
