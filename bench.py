@@ -214,16 +214,19 @@ def pubmed_workload():
     SURVEY.md §6: 19,717 nodes / 500 features / 3 classes) — the
     reference's largest real transductive graph; synthetic stand-in when
     the raw files are absent (same loader fallback as training).
-    Round 4: cluster ordering + hybrid split-locality layout — RCM
-    cannot band the community-structured graph, so the windowed kernel
-    covers the ~87% cluster-local edges and the v5 table kernel the
-    remainder (VERDICT r3 item 3)."""
+    Round 4: the v12-packed FULL-EDGE windowed path (rcm layout,
+    window 14976 -> 7488 pack rows fits VMEM) measured 83.7M edges/s vs
+    v5's 70.7M and vs 56-58M for the cluster+hybrid split — at 108k
+    edges the hybrid's second compute path costs more in launches than
+    it saves in crossings (probe_pubmed, docs/PERF.md round 4), so rcm
+    is the default and cluster/hybrid stays an option for larger
+    community graphs."""
     from gat_pytorch_tpu.data import datasets, loader
     from gat_pytorch_tpu.train.tasks import make_task
     from gat_pytorch_tpu.utils.config import get_config
     run_cfg = get_config("Pubmed")
     raw = datasets.load_planetoid("Pubmed", seed=0)
-    reorder = os.environ.get("GAT_TPU_PUBMED_REORDER", "cluster")
+    reorder = os.environ.get("GAT_TPU_PUBMED_REORDER", "rcm")
     graph = loader.transductive_graph(raw, reorder=reorder,
                                       src_windows=True,
                                       hybrid=reorder == "cluster")

@@ -382,26 +382,41 @@ def gat_layer_apply(params: Params,
         _slot = (fsw._pair_slot(nh * f)
                  if use_v7 and fsw._v10_sweep1() else 0)
         _npk = (128 // _slot) if _slot else 1
-        # VMEM gate: backward scratch is 4 window copies f32
-        # (2x double-buffered stream + d-accumulator + readback)
+        # VMEM gate: scratch per window row = wbuf (2 slots at the
+        # contraction dtype) + the f32 dwin accumulator + either the
+        # f32 rwin readback (serial-RMW path) or the small sliding
+        # stage (dmax certified). Resident whole-table windows keep one
+        # wbuf slot and no readback.
         budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB", "10")) * 2**20
-        # resident (whole-table) windows need half the scratch: one wbuf
-        # slot + the dwin accumulator, no per-tile readback buffer
-        per_row = 8 if w >= n_rows8 else 16
+        _dtb = 2 if fsw._v6_dtype() == jnp.bfloat16 else 4
+        _sliding = use_v7 and bl.dmax >= 0
+        if w >= n_rows8:
+            per_row = _dtb + 4
+        else:
+            per_row = 2 * _dtb + 4 + (1 if _sliding else 4)
         fits = per_row * (w // _npk) * nhfl <= budget
-        # auto gate: the one-hot gather/scatter contractions cost
-        # O(wb * nhfl) MXU flops PER EDGE (w*nhfl without a block
-        # layout), so v6 only beats v5's 4 KB/row random-crossing tax
-        # for NARROW windows. Measured in-situ (probe_v6_insitu +
-        # window_bench, v5e): banded w=1536/nhfl=128 is +4% over v5
-        # even pre-v7; whole-table-resident Cora (w=2816) is -44% on
-        # the full train step. Auto therefore requires a BANDED
-        # certification and an effective window below ~200k lanes;
-        # GAT_TPU_V6=1 forces on anywhere (e.g. for A/B runs).
-        w_eff = (bl.wb // _npk) if use_v7 else w
-        narrow = ((use_v7 or tile_lo is not None) and w_eff < n_rows8
-                  and w_eff * nhfl <= int(_os.environ.get(
-                      "GAT_TPU_V6_MAX_WL", str(200 * 1024))))
+        # auto gate (round-4 cost rule): the windowed kernel trades
+        # v5's random row crossings (~2 x E x 4 KB of HBM per layer)
+        # for one-hot contractions (~slots x (wb_eff + nb) x nhfl
+        # MACs). Engage when the projected MXU time undercuts the
+        # crossing time with >= 2x margin (MXU ~2e14 MACs/s bf16 vs
+        # HBM ~8e11 B/s -> engage iff MACs <= 122 x crossing-bytes).
+        # This replaces the fixed 200k-lane cap that blocked Pubmed's
+        # full-edge windowed path (measured +18% over v5 once forced —
+        # docs/PERF.md round 4); banded/Cora engage under both rules.
+        # GAT_TPU_V6=1 still forces on anywhere.
+        if use_v7:
+            _macs = (float(bl.send.shape[0])
+                     * ((bl.wb // _npk) + bl.nb) * nhfl)
+            _cross = 2.0 * float(E) * 4096.0
+            _margin = float(_os.environ.get("GAT_TPU_V6_COST_MARGIN",
+                                            "122"))
+            narrow = _macs <= _margin * _cross
+        else:
+            w_eff = w
+            narrow = (tile_lo is not None and w_eff < n_rows8
+                      and w_eff * nhfl <= int(_os.environ.get(
+                          "GAT_TPU_V6_MAX_WL", str(200 * 1024))))
         v6_on = fits and (_v6_env == "1"
                           or (_v6_env == "auto" and narrow
                               and E >= 4096))
