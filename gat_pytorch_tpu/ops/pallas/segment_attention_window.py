@@ -81,6 +81,20 @@ def _v6_dtype():
             if os.environ.get("GAT_TPU_V6_DTYPE") == "float32"
             else jnp.bfloat16)
 
+def _onehot_dtype():
+    """Dtype for the one-hot operands of the v7 gather/scatter/acc
+    dots. GAT_TPU_ONEHOT_DTYPE=int8 feeds the MXU s8 one-hots against
+    bf16 values (mixed dots verified accepted by Mosaic on this chip —
+    benchmarks/probe_int8_onehot.py, round 4); selection stays exact
+    (0/1 values). Only meaningful in the bf16 contraction mode; the f32
+    parity mode keeps f32 one-hots."""
+    import os
+    if (os.environ.get("GAT_TPU_ONEHOT_DTYPE") == "int8"
+            and _v6_dtype() == jnp.bfloat16):
+        return jnp.int8
+    return _v6_dtype()
+
+
 _I32_MAX = np.int32(2 ** 31 - 1)
 
 
@@ -417,7 +431,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                 gathered = jnp.zeros((nhfl, eb), jnp.float32)
             else:
                 gathered = jax.lax.dot_general(
-                    wt_blk.astype(dt), onehot_w.astype(dt),
+                    wt_blk.astype(dt), onehot_w.astype(_onehot_dtype()),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)     # (128, EB)
             h_sel = None
@@ -553,7 +567,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                 gathered_t = jnp.zeros((nhfl, eb), jnp.float32)
             else:
                 gathered_t = jax.lax.dot_general(
-                    _wsl.astype(dt), onehot_w.astype(dt),
+                    _wsl.astype(dt), onehot_w.astype(_onehot_dtype()),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)     # (NHFL, EB)
             h_t = gathered_t[:nhf8]
@@ -571,7 +585,7 @@ def _kernel_v6(tile_off_ref,       # (T+2,) int32: offsets | e_real
                                        ).astype(dt)
             if "accdot" not in ablate:
                 acc_ref[:] += jax.lax.dot_general(
-                    combined, onehot_dst.astype(dt),
+                    combined, onehot_dst.astype(_onehot_dtype()),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (NHF8+NH8, NB)
             if gstream and dm_on:
@@ -1191,8 +1205,9 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             # dtype — the f32 instances only existed for the score
             # matmuls, which the raw stream replaces; payload and dsdst
             # run at dt with f32 accumulation (exact in f32 mode)
+            odt = _onehot_dtype()
             onehot_dst = ((recv_row - (i * nb).astype(jnp.float32))
-                          == rows_nb_f).astype(dt)           # (NB, EB)
+                          == rows_nb_f).astype(odt)          # (NB, EB)
             if pair:
                 # v12: window rows are 128//pair-node PACKS (see
                 # _kernel_v6.edge_inputs pair path)
@@ -1200,10 +1215,10 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
                 src_pk = jnp.floor(src_row * (1.0 / npack))
                 sub = src_row - src_pk * npack               # (1, EB)
                 onehot_w_dt = ((src_pk - wrow0)
-                               == rows_wb_f).astype(dt)      # (WN, EB)
+                               == rows_wb_f).astype(odt)     # (WN, EB)
             else:
                 onehot_w_dt = ((src_row - wrow0)
-                               == rows_wb_f).astype(dt)      # (WN, EB)
+                               == rows_wb_f).astype(odt)     # (WN, EB)
             onehot_w = None
         else:
             rows = (i * nb
@@ -1271,7 +1286,7 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             # unchanged. f32 payload matmuls measured ~7 ms of the
             # banded 5M step (docs/PERF.md round-2-resume ablations).
             payload_e = jax.lax.dot_general(
-                payload_tile_dt, onehot_dst.astype(dt),
+                payload_tile_dt, onehot_dst,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         else:
