@@ -281,6 +281,43 @@ def banded_workload(num_nodes=500_000, avg_degree=10, features=64,
     return cfg, graph, make_task("PPI"), 1e-3, 0.0
 
 
+def clustered_workload(num_nodes=500_000, avg_degree=10, features=64,
+                       communities=64, homophily=0.9):
+    """Large COMMUNITY-structured graph (SBM): the locality class where
+    neither RCM banding nor pure randomness applies — social/citation
+    networks at scale. The round-4 hybrid split-locality path (cluster
+    ordering + windowed kernel over the ~90% community-local edges +
+    v5/XLA remainder) exists exactly for this: at Pubmed size (108k
+    edges) the split's fixed costs beat its savings, but at 5M edges
+    the removed random crossings dominate (docs/PERF.md round 4)."""
+    from gat_pytorch_tpu.graph import transforms as T
+    from gat_pytorch_tpu.models.gat import GATConfig
+    from gat_pytorch_tpu.train.tasks import make_task
+    rng = np.random.default_rng(3)
+    e = int(num_nodes * avg_degree)
+    labels = rng.integers(0, communities, num_nodes)
+    members = [np.where(labels == c)[0] for c in range(communities)]
+    senders = rng.integers(0, num_nodes, e)
+    receivers = np.empty(e, dtype=np.int64)
+    same = rng.random(e) < homophily
+    receivers[~same] = rng.integers(0, num_nodes, (~same).sum())
+    for c in range(communities):
+        pick = same & (labels[senders] == c)
+        receivers[pick] = members[c][rng.integers(0, len(members[c]),
+                                                  pick.sum())]
+    x = rng.normal(size=(num_nodes, features)).astype(np.float32)
+    y = (rng.random((num_nodes, 8)) > 0.5).astype(np.float32)
+    graph = T.canonicalize(x, senders, receivers, y=y,
+                           reorder="cluster", src_windows=True,
+                           hybrid=True)
+    cfg = GATConfig(
+        num_input_node_features=features, num_layers=2,
+        num_heads_per_layer=[8, 8], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[features, 16, 8],
+        num_classes=8, add_skip_connection=[False, False], dropout=0.0)
+    return cfg, graph, make_task("PPI"), 1e-3, 0.0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure_baseline", action="store_true",
