@@ -44,11 +44,13 @@ import time
 import numpy as np
 
 # Measured via `python bench.py --measure_baseline` on the v5e chip
-# (round-3 second pass with bf16 GEMM + v10 era: 7.2125e6; round 4 on
-# the RCM-reordered Cora graph: 7.1991e6; round 3 with the rbg dropout
-# chain: 7.1296e6; round 2: 7.0757e6; round 1: 7.09e6 — consistent
-# re-measures, the baseline step is segment-op-bound so none of the
-# model-side speedups move it).
+# (round-3 second pass with bf16 GEMM + v10 era, inner=400: 7.2125e6;
+# round-4 re-measure at inner=100: 7.0872e6 — the shorter scan pays
+# more dispatch overhead, so the committed inner=400 value stays as
+# the conservative divisor; round 4 on the RCM-reordered Cora graph:
+# 7.1991e6; round 3 with the rbg dropout chain: 7.1296e6; round 2:
+# 7.0757e6; round 1: 7.09e6 — consistent re-measures, the baseline
+# step is segment-op-bound so none of the model-side speedups move it).
 XLA_BASELINE_EDGES_PER_S = 7.2125e6
 
 

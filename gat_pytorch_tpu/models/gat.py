@@ -382,19 +382,32 @@ def gat_layer_apply(params: Params,
         _slot = (fsw._pair_slot(nh * f)
                  if use_v7 and fsw._v10_sweep1() else 0)
         _npk = (128 // _slot) if _slot else 1
-        # VMEM gate: scratch per window row = wbuf (2 slots at the
-        # contraction dtype) + the f32 dwin accumulator + either the
-        # f32 rwin readback (serial-RMW path) or the small sliding
-        # stage (dmax certified). Resident whole-table windows keep one
-        # wbuf slot and no readback.
-        budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB", "10")) * 2**20
+        # VMEM gate: model the backward's actual scratch against the
+        # chip's ~16 MB scoped-vmem limit (budget default 15 MB leaves
+        # ~1 MB stack slack — a clustered-5M eb=1024 config measured an
+        # honest compile OOM at 17.6 MB, round 4):
+        #   wbuf   2 slots x w x 128 x dtype bytes (1 slot if resident)
+        #   dwin   (w + dmax) x 128 x 4   (sliding keeps dmax slack rows)
+        #   stage  dmax x 128 x 4 (sliding) | rwin w x 128 x 4 (RMW)
+        #   cbuf/gbuf combined+payload group streams (dmak*eb columns)
+        budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB", "15")) * 2**20
         _dtb = 2 if fsw._v6_dtype() == jnp.bfloat16 else 4
         _sliding = use_v7 and bl.dmax >= 0
-        if w >= n_rows8:
-            per_row = _dtb + 4
+        _w_eff_rows = w // _npk
+        _dx = (max(bl.dmax, 0) // _npk) if use_v7 else 0
+        if w >= n_rows8 and not use_v7:
+            row_bytes = _w_eff_rows * (_dtb + 4)
+        elif _sliding:
+            row_bytes = _w_eff_rows * (2 * _dtb + 4) + 8 * _dx
         else:
-            per_row = 2 * _dtb + 4 + (1 if _sliding else 4)
-        fits = per_row * (w // _npk) * nhfl <= budget
+            row_bytes = _w_eff_rows * (2 * _dtb + 8)
+        _ebv = bl.eb if use_v7 else v6_eb
+        _dmak = 4 * _ebv          # dmak defaults to 4 blocks/group
+        _gprows = _slot if _slot else nhfl   # v12 streams slot rows
+        stream_bytes = (2 * 24 * _dmak * 4            # cbuf (mr+nh8)
+                        + 2 * _gprows * _dmak * _dtb)  # gbuf (v11)
+        _lanes = 128 if _slot else nhfl      # packed table is 128 wide
+        fits = _lanes * row_bytes + stream_bytes <= budget
         # auto gate (round-4 cost rule): the windowed kernel trades
         # v5's random row crossings (~2 x E x 4 KB of HBM per layer)
         # for one-hot contractions (~slots x (wb_eff + nb) x nhfl
