@@ -552,9 +552,7 @@ def compute_hybrid_layout(senders: np.ndarray, receivers: np.ndarray,
             j_ends = np.searchsorted(tile, tile + w, side="left")
             covered = j_ends - np.arange(mt)
             i_star = int(np.argmax(covered))
-            lo_w = int(tile[i_star])
             mask[lo_i + i_star:lo_i + int(j_ends[i_star])] = True
-            del lo_w
         return mask
 
     best = None
