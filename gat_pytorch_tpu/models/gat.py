@@ -656,10 +656,20 @@ def gat_layer_apply(params: Params,
             and block_layout.nb % 128 == 0):
         bl = block_layout
         nhfl = ((nh * f + 127) // 128) * 128
-        budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB", "10")) * 2**20
+        # same refined scratch model as the single-device gate (dwin
+        # dmax slack + stream buffers; see the v6 section below)
+        budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB", "15")) * 2**20
         _slot = fsw._pair_slot(nh * f) if fsw._v10_sweep1() else 0
         _npk = (128 // _slot) if _slot else 1
-        fits = 16 * (bl.window // _npk) * nhfl <= budget
+        _dtb = 2 if fsw._v6_dtype() == jnp.bfloat16 else 4
+        _w2 = bl.window // _npk
+        _dx = max(bl.dmax, 0) // _npk
+        row_bytes = (_w2 * (2 * _dtb + 4) + 8 * _dx if bl.dmax >= 0
+                     else _w2 * (2 * _dtb + 8))
+        stream_bytes = (2 * 24 * 4 * bl.eb * 4
+                        + 2 * (_slot or nhfl) * 4 * bl.eb * _dtb)
+        fits = ((128 if _slot else nhfl) * row_bytes
+                + stream_bytes <= budget)
         narrow = (bl.wb // _npk) * nhfl <= int(_os.environ.get(
             "GAT_TPU_V6_MAX_WL", str(200 * 1024)))
         if fits and (_v6_env == "1"
