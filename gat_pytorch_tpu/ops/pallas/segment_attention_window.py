@@ -1194,6 +1194,13 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
         else:
             wt_blk, ss_win, wrow0, wn, woff = block_window(
                 b, need_scores=not v7)
+        if pair:
+            # v12: window rows are 128//pair-node PACKS (see
+            # _kernel_v6.edge_inputs pair path); sub is needed by the
+            # slot selection/packing even under one-hot ablation
+            npack = 128 // pair
+            src_pk = jnp.floor(src_row * (1.0 / npack))
+            sub = src_row - src_pk * npack                   # (1, EB)
         if "onehot" in ablate:
             onehot_dst = jnp.full((nb, eb), 1e-3,
                                   dt if v7 else jnp.float32)
@@ -1209,11 +1216,6 @@ def _kernel_v6_bwd(tile_off_ref,    # (T+2,) int32: offsets | e_real
             onehot_dst = ((recv_row - (i * nb).astype(jnp.float32))
                           == rows_nb_f).astype(odt)          # (NB, EB)
             if pair:
-                # v12: window rows are 128//pair-node PACKS (see
-                # _kernel_v6.edge_inputs pair path)
-                npack = 128 // pair
-                src_pk = jnp.floor(src_row * (1.0 / npack))
-                sub = src_row - src_pk * npack               # (1, EB)
                 onehot_w_dt = ((src_pk - wrow0)
                                == rows_wb_f).astype(odt)     # (WN, EB)
             else:
