@@ -327,29 +327,44 @@ def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
     # static wb far above the typical block span (banded bench: 1664 vs
     # ~1024 at band 4096); splitting just those blocks buys a smaller wb
     # for almost no extra slots (boundary shifts absorb into existing
-    # per-tile pad slack). Candidates from span quantiles; keep the
-    # smallest wb whose slot inflation stays under GAT_TPU_V7_SLOT_SLACK.
+    # per-tile pad slack). Candidates from span quantiles; pick the one
+    # minimising the MEASURED cost model  slots x (nb + wb + K):
+    # fitting the on-chip Pubmed wb-cap A/B (wb 4480@121k slots 2.588 ms,
+    # 2048@160k 2.387, 1536@194k 2.546 — round 4) gives per-slot fixed
+    # costs equivalent to K ~= 2560 window rows, i.e. splitting pays
+    # only when it removes >K-row spans. (The previous 3%-slot-slack
+    # acceptance rule rejected the measured winner.) GAT_TPU_V7_TARGET
+    # forces a specific cap; GAT_TPU_V7_COST_K tunes the constant.
     st, en, ba, cnt = boundaries(None)
     wb = wb_of(st, en, ba)
     if st.shape[0]:
-        slots0 = st.shape[0] * eb
-        slack = float(os.environ.get("GAT_TPU_V7_SLOT_SLACK", "0.03"))
+        cost_k = float(os.environ.get("GAT_TPU_V7_COST_K", "2560"))
         env_t = os.environ.get("GAT_TPU_V7_TARGET")
         if env_t:
             cands = [int(env_t)]
         else:
+            # denser grid than the original 3 quantiles: the cost
+            # landscape is shallow near its optimum (Pubmed: 8.0-8.3e8
+            # across wb 2048-3584), so candidates must bracket it
             spans = ss[en - 1] - ba + 1
-            cands = sorted({int(round_up(int(q), 128)) for q in
-                            np.quantile(spans, [0.5, 0.75, 0.9])})
+            cands = sorted(
+                {int(round_up(int(q), 128)) for q in
+                 np.quantile(spans, [0.25, 0.4, 0.55, 0.7, 0.85])}
+                | {int(round_up(max(wb // d, 128), 128))
+                   for d in (2, 3)})
+        wb_naive = wb
+        best = (st, en, ba, cnt, wb)
+        best_cost = st.shape[0] * eb * (nb + wb + cost_k)
         for tg in cands:
-            if tg >= wb:
+            if tg >= wb_naive:
                 continue
             st2, en2, ba2, cnt2 = boundaries(tg)
             wb2 = wb_of(st2, en2, ba2)
-            if (st2.shape[0] * eb <= slots0 * (1 + slack)
-                    and wb2 < wb):
-                st, en, ba, cnt, wb = st2, en2, ba2, cnt2, wb2
-                break
+            cost2 = st2.shape[0] * eb * (nb + wb2 + cost_k)
+            if env_t or cost2 < best_cost:
+                best = (st2, en2, ba2, cnt2, wb2)
+                best_cost = cost2
+        st, en, ba, cnt, wb = best
 
     g = st.shape[0]
     e7 = g * eb
