@@ -934,6 +934,12 @@ def gat_layer_apply(params: Params,
             keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout,
                                         (E, nh))
             drop_mask = keep.astype(jnp.float32) / (1.0 - cfg.dropout)
+        # block sizes by feature width, like the v5 path: the hardcoded
+        # (1024, 256) blocks at PPI's nhfl=1024 overflowed scoped VMEM
+        # (16.65 MB, measured compile OOM on the round-4 lambda path —
+        # pre-round-4 return_attention never reached this kernel)
+        _nhfl4 = ((nh * f + 127) // 128) * 128
+        v4_eb, v4_nb = (1024, 256) if _nhfl4 <= 512 else (256, 128)
         if edge_axis is None:
             # v4 table op: the op owns the node->edge gather (one XLA
             # gather straight into the kernel's edge-major layout — no
@@ -941,7 +947,8 @@ def gat_layer_apply(params: Params,
             # routes d(h) through the sorted segment-sum via src_order
             out = fsa.fused_segment_attention_table(
                 masked_logits, h_flat, senders, receivers, drop_mask,
-                src_order, num_nodes, nh, f, eps, 1024, 256, interpret)
+                src_order, num_nodes, nh, f, eps, v4_eb, v4_nb,
+                interpret)
         elif dst_owned:
             # boundary-free layout: full (normalised) kernel over the
             # LOCAL dst rows, gathering from the replicated table; one
@@ -950,7 +957,7 @@ def gat_layer_apply(params: Params,
             recv_local = receivers - jax.lax.axis_index(edge_axis) * rows
             out_local = fsa.fused_segment_attention_table(
                 masked_logits, h_flat, senders, recv_local, drop_mask,
-                src_order, rows, nh, f, eps, 1024, 256, interpret,
+                src_order, rows, nh, f, eps, v4_eb, v4_nb, interpret,
                 num_nodes, (edge_axis,))
             out = _ag_tiled(out_local, edge_axis)
         else:

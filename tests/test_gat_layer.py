@@ -372,3 +372,39 @@ def test_fused_return_attention_parity(paper_faithful):
                     jax.tree_util.tree_leaves(g_p)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_fused_return_attention_wide_heads_block_sizes(monkeypatch):
+    """PPI's wide heads (nhfl=1024) through the fused return_attention
+    path must use the narrow (256, 128) kernel blocks — the hardcoded
+    (1024, 256) measured a 16.65 MB scoped-VMEM compile OOM on-chip
+    (round-4 lambda-path regression)."""
+    from gat_pytorch_tpu.ops.pallas import segment_attention as fsa
+
+    n, f_in, nh, f = 60, 16, 4, 256
+    g = make_random_graph(31, n, 4.0, f_in)
+    graph = T.canonicalize(g.x, g.senders, g.receivers)
+    cfg = gat.GATConfig(
+        num_input_node_features=f_in, num_layers=1,
+        num_heads_per_layer=[nh], heads_concat_per_layer=[True],
+        head_output_features_per_layer=[f_in, f], num_classes=nh * f,
+        add_skip_connection=[False], dropout=0.0)
+    params = gat.init_gat_model(jax.random.key(6), cfg)
+
+    seen = []
+    orig = fsa.fused_segment_attention_table
+
+    def spy(*a, **k):
+        seen.append((a[10], a[11]))   # (eb, nb) positional args
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fsa, "fused_segment_attention_table", spy)
+    import gat_pytorch_tpu.models.gat as gatmod
+    monkeypatch.setattr(gatmod.fsa, "fused_segment_attention_table", spy)
+    out, att = gat.gat_model_apply(params, cfg, graph, backend="pallas",
+                                   return_attention=True)
+    assert seen and all(s == (256, 128) for s in seen), seen
+    want, _ = gat.gat_model_apply(params, cfg, graph, backend="xla",
+                                  return_attention=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
