@@ -115,7 +115,7 @@ def roofline_edges_per_s(num_nodes: int, num_edges: int, cfg) -> float:
 
 
 def roofline_tile_edges_per_s(num_nodes: int, num_edges: int,
-                              cfg) -> float:
+                              cfg, crossings_per_layer: int = 2) -> float:
     """Achievable floor of the RANDOM-ACCESS formulation: the idealized
     model above charges the node->edge crossings at payload bytes, but
     a random row access on TPU costs a full (8, 128) f32 tile (4 KB)
@@ -124,7 +124,16 @@ def roofline_tile_edges_per_s(num_nodes: int, num_edges: int,
     d_h permute); everything else streams at payload bytes. The
     windowed (v6-v9) kernels pay NO random crossings on banded/RCM
     graphs, so sol_tile > 1 there is expected — it means the design
-    beats the random-access bound, not that the measurement is wrong."""
+    beats the random-access bound, not that the measurement is wrong.
+
+    crossings_per_layer: 2 is the legacy model (forward node->edge
+    gather + backward d_h permute). The round-4 decomposition of the
+    random-expander step (docs/PERF.md probe_scale) found a THIRD
+    row-rate crossing the sorted-scatter design actually pays — the
+    backward's take(d_h_rows, src_order) permute into src order — so
+    the honest floor of the AS-BUILT design uses 3; bench emits both
+    (scale_sol_tile legacy / scale_sol_tile3 as-built, VERDICT r4
+    weak item 1)."""
     bw = hbm_bandwidth_bytes_per_s()
     total = 0.0
     heads = [1] + list(cfg.num_heads_per_layer)
@@ -133,7 +142,7 @@ def roofline_tile_edges_per_s(num_nodes: int, num_edges: int,
         f = cfg.head_output_features_per_layer[i + 1]
         payload = 3.0 * (num_edges * (2 * nh * f + 3 * nh) * 4
                          + num_nodes * (2 * nh * f) * 4)
-        crossings = 2 * num_edges * 4096
+        crossings = crossings_per_layer * num_edges * 4096
         total += payload + crossings
     total += _gemm_input_bytes(num_nodes, cfg)
     return cfg.num_layers * num_edges / (total / bw)
@@ -412,6 +421,10 @@ def main() -> None:
             eps2 / roofline_edges_per_s(n2, e2, cfg2), 4)
         out["scale_sol_tile"] = round(
             eps2 / roofline_tile_edges_per_s(n2, e2, cfg2), 4)
+        # the as-built (3-crossing) floor alongside the legacy metric
+        out["scale_sol_tile3"] = round(
+            eps2 / roofline_tile_edges_per_s(n2, e2, cfg2,
+                                             crossings_per_layer=3), 4)
 
         cfg3, graph3, task3, lr3, l23 = banded_workload()
         dt3 = measure_train_step(cfg3, graph3, task3, lr3, l23,

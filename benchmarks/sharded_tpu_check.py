@@ -169,7 +169,12 @@ def main(argv=None) -> int:
         "mesh": dict(mesh.shape),
         "compile_s": round(compile_s, 1),
         "ms_per_step": round(dt * 1e3, 3),
-        # real (unpadded) edges x layers, same convention as bench.py
+        # real (unpadded) edges x layers, same convention as bench.py.
+        # NB convention changed in round 4: round-3 logs of this probe
+        # (docs/PERF.md) reported padded-edges/step (no num_layers
+        # factor), so cross-round comparisons of this field need the
+        # marker below (ADVICE r4).
+        "edges_convention": "num_layers*real_edges/step (round-4+)",
         "edges_per_s": round(cfg.num_layers * e_real / dt),
         "loss_first": round(loss0, 4),
         "loss_last": round(lossN, 4),

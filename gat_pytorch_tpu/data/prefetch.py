@@ -24,14 +24,21 @@ class PrefetchIterator:
 
     src: an iterable of Graphs (or a callable returning one, for epoch
     re-batching). Exceptions in the worker propagate to the consumer.
+
+    put=False skips the device_put — for items the producer already
+    placed with their own shardings (Trainer.fit_sharded's epoch groups
+    carry NamedShardings; a bare device_put would re-commit them to the
+    default device). The thread then only overlaps the host-side BUILD
+    work (batching/partitioning/stacking) with device compute.
     """
 
     _SENTINEL = object()
 
     def __init__(self, src: Iterable[Graph], depth: int = 2,
-                 device: Optional[jax.Device] = None):
+                 device: Optional[jax.Device] = None, put: bool = True):
         self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
         self._device = device
+        self._put = put
         self._err: Optional[BaseException] = None
         self._thread = threading.Thread(
             target=self._worker, args=(iter(src),), daemon=True)
@@ -40,7 +47,9 @@ class PrefetchIterator:
     def _worker(self, it: Iterator[Graph]) -> None:
         try:
             for g in it:
-                if self._device is not None:
+                if not self._put:
+                    pass
+                elif self._device is not None:
                     g = jax.device_put(g, self._device)
                 else:
                     g = jax.device_put(g)

@@ -356,7 +356,11 @@ def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
         best = (st, en, ba, cnt, wb)
         best_cost = st.shape[0] * eb * (nb + wb + cost_k)
         for tg in cands:
-            if tg >= wb_naive:
+            if tg >= wb_naive and not env_t:
+                # a cap >= the naive wb never binds; still honour an
+                # explicit GAT_TPU_V7_TARGET (documented as "forces a
+                # specific cap" — ADVICE r4: silently skipping it left
+                # the naive layout with no warning)
                 continue
             st2, en2, ba2, cnt2 = boundaries(tg)
             wb2 = wb_of(st2, en2, ba2)

@@ -111,6 +111,61 @@ def _ag_tiled(out_local: jax.Array, edge_axis: str) -> jax.Array:
     return jax.lax.all_gather(out_local, edge_axis, axis=0, tiled=True)
 
 
+# Trace-time record of the kernel family each gat_layer_apply call
+# picked (one entry per layer per trace; jit caching means retraces only
+# on new shapes). Tests clear and inspect it to pin gate decisions —
+# e.g. the sharded layer must pick the same family as the single-device
+# layer on the same graph (VERDICT r4 item 3a).
+PATH_TRACE: List[str] = []
+
+
+def _note_path(name: str) -> None:
+    PATH_TRACE.append(name)
+
+
+def _v7_cost_gate(bl, nhfl: int, npk: int, num_edges: int) -> bool:
+    """Round-4 MXU-vs-crossings auto gate, SHARED by the single-device
+    and sharded v7 branches (ADVICE r4: the sharded branch had kept the
+    retired fixed 200k-lane cap): the windowed kernel trades v5's random
+    row crossings (~2 x E x 4 KB of HBM per layer) for one-hot
+    contractions (~slots x (wb_eff + nb) x nhfl MACs). Engage when the
+    projected MXU time undercuts the crossing time with >= 2x margin
+    (MXU ~2e14 MACs/s bf16 vs HBM ~8e11 B/s -> engage iff
+    MACs <= 122 x crossing-bytes). This replaced the fixed cap that
+    blocked Pubmed's full-edge windowed path (+18% once engaged,
+    docs/PERF.md round 4)."""
+    import os
+    macs = float(bl.send.shape[0]) * ((bl.wb // npk) + bl.nb) * nhfl
+    cross = 2.0 * float(num_edges) * 4096.0
+    margin = float(os.environ.get("GAT_TPU_V6_COST_MARGIN", "122"))
+    return macs <= margin * cross
+
+
+def _v7_scratch_fits(bl, nhfl: int, slot: int) -> bool:
+    """VMEM gate for the v7 windowed kernels (shared single-device /
+    sharded): model the backward's actual scratch against the chip's
+    ~16 MB scoped-vmem limit (budget default 15 MB leaves ~1 MB stack
+    slack — a clustered-5M eb=1024 config measured an honest compile
+    OOM at 17.6 MB, round 4):
+      wbuf   2 slots x w x 128 x dtype bytes
+      dwin   (w + dmax) x 128 x 4   (sliding keeps dmax slack rows)
+      stage  dmax x 128 x 4 (sliding) | rwin w x 128 x 4 (RMW)
+      cbuf/gbuf combined+payload group streams (4*eb columns)
+    slot: v12 n-pack slot width (0 = unpacked; packing divides the
+    effective window rows by 128//slot)."""
+    import os
+    budget = float(os.environ.get("GAT_TPU_V6_VMEM_MB", "15")) * 2**20
+    dtb = 2 if fsw._v6_dtype() == jnp.bfloat16 else 4
+    npk = (128 // slot) if slot else 1
+    w2 = bl.window // npk
+    dx = max(bl.dmax, 0) // npk
+    row_bytes = (w2 * (2 * dtb + 4) + 8 * dx if bl.dmax >= 0
+                 else w2 * (2 * dtb + 8))
+    stream_bytes = (2 * 24 * 4 * bl.eb * 4            # cbuf (mr+nh8)
+                    + 2 * (slot or nhfl) * 4 * bl.eb * dtb)  # gbuf (v11)
+    return (128 if slot else nhfl) * row_bytes + stream_bytes <= budget
+
+
 def _resolve_backend(backend: str) -> str:
     if backend not in _VALID_BACKENDS:
         raise ValueError(f"backend must be one of {_VALID_BACKENDS}")
@@ -261,7 +316,8 @@ def gat_layer_apply(params: Params,
                     dst_owned: bool = False,
                     tile_lo: Optional[jax.Array] = None,
                     src_band: int = 0,
-                    block_layout=None):
+                    block_layout=None,
+                    force_windowed: Optional[bool] = None):
     """One GAT layer forward. Graph must be canonicalised (self-loops added,
     dst-sorted, padded — graph/transforms.canonicalize).
 
@@ -343,6 +399,12 @@ def gat_layer_apply(params: Params,
     # backward). Replaces reference models/gat_layer.py:70-127.
     import os as _os
     _v6_env = _os.environ.get("GAT_TPU_V6", "auto")
+    # force_windowed: per-call override of the windowed-kernel gate
+    # (True == GAT_TPU_V6=1, False == off, None == env/auto) — lets the
+    # driver dry-run force the windowed family at tiny shapes without
+    # mutating process environment (VERDICT r4 hygiene item).
+    if force_windowed is not None:
+        _v6_env = "1" if force_windowed else "0"
     if (_v6_env not in ("0", "off")
             and _resolve_backend(backend) == "pallas"
             and not return_attention
@@ -390,42 +452,26 @@ def gat_layer_apply(params: Params,
         #   dwin   (w + dmax) x 128 x 4   (sliding keeps dmax slack rows)
         #   stage  dmax x 128 x 4 (sliding) | rwin w x 128 x 4 (RMW)
         #   cbuf/gbuf combined+payload group streams (dmak*eb columns)
-        budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB", "15")) * 2**20
-        _dtb = 2 if fsw._v6_dtype() == jnp.bfloat16 else 4
-        _sliding = use_v7 and bl.dmax >= 0
-        _w_eff_rows = w // _npk
-        _dx = (max(bl.dmax, 0) // _npk) if use_v7 else 0
-        if w >= n_rows8 and not use_v7:
-            row_bytes = _w_eff_rows * (_dtb + 4)
-        elif _sliding:
-            row_bytes = _w_eff_rows * (2 * _dtb + 4) + 8 * _dx
-        else:
-            row_bytes = _w_eff_rows * (2 * _dtb + 8)
-        _ebv = bl.eb if use_v7 else v6_eb
-        _dmak = 4 * _ebv          # dmak defaults to 4 blocks/group
-        _gprows = _slot if _slot else nhfl   # v12 streams slot rows
-        stream_bytes = (2 * 24 * _dmak * 4            # cbuf (mr+nh8)
-                        + 2 * _gprows * _dmak * _dtb)  # gbuf (v11)
-        _lanes = 128 if _slot else nhfl      # packed table is 128 wide
-        fits = _lanes * row_bytes + stream_bytes <= budget
-        # auto gate (round-4 cost rule): the windowed kernel trades
-        # v5's random row crossings (~2 x E x 4 KB of HBM per layer)
-        # for one-hot contractions (~slots x (wb_eff + nb) x nhfl
-        # MACs). Engage when the projected MXU time undercuts the
-        # crossing time with >= 2x margin (MXU ~2e14 MACs/s bf16 vs
-        # HBM ~8e11 B/s -> engage iff MACs <= 122 x crossing-bytes).
-        # This replaces the fixed 200k-lane cap that blocked Pubmed's
-        # full-edge windowed path (measured +18% over v5 once forced —
-        # docs/PERF.md round 4); banded/Cora engage under both rules.
-        # GAT_TPU_V6=1 still forces on anywhere.
+        # VMEM + cost gates: the v7 case rides the SHARED helpers (the
+        # sharded v7 branch uses the identical pair — ADVICE r4); the
+        # legacy non-v7 windowed path keeps its resident/RMW scratch
+        # model and the fixed-lane cap inline. GAT_TPU_V6=1 still
+        # forces on anywhere VMEM allows.
         if use_v7:
-            _macs = (float(bl.send.shape[0])
-                     * ((bl.wb // _npk) + bl.nb) * nhfl)
-            _cross = 2.0 * float(E) * 4096.0
-            _margin = float(_os.environ.get("GAT_TPU_V6_COST_MARGIN",
-                                            "122"))
-            narrow = _macs <= _margin * _cross
+            fits = _v7_scratch_fits(bl, nhfl, _slot)
+            narrow = _v7_cost_gate(bl, nhfl, _npk, E)
         else:
+            budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB",
+                                           "15")) * 2**20
+            _dtb = 2 if fsw._v6_dtype() == jnp.bfloat16 else 4
+            if w >= n_rows8:
+                row_bytes = w * (_dtb + 4)       # resident table
+            else:
+                row_bytes = w * (2 * _dtb + 8)   # RMW windowed
+            _dmak = 4 * v6_eb          # dmak defaults to 4 blocks/group
+            stream_bytes = (2 * 24 * _dmak * 4            # cbuf (mr+nh8)
+                            + 2 * nhfl * _dmak * _dtb)     # gbuf (v11)
+            fits = nhfl * row_bytes + stream_bytes <= budget
             w_eff = w
             narrow = (tile_lo is not None and w_eff < n_rows8
                       and w_eff * nhfl <= int(_os.environ.get(
@@ -462,6 +508,8 @@ def gat_layer_apply(params: Params,
                                             (e_slots, nh))
                 return keep.astype(jnp.float32) / (1.0 - cfg.dropout)
 
+            _note_path("v7_hybrid" if (use_v7 and hybrid)
+                       else ("v7" if use_v7 else "v6"))
             if use_v7 and hybrid:
                 # split-locality: v7 parts over the in-window edges +
                 # v5 parts over the remainder; num/den are additive over
@@ -594,6 +642,7 @@ def gat_layer_apply(params: Params,
         # 23.4M -> 32.2M edges/s). Sub-4k graphs stay on v4.1 (per-call
         # kernel overhead dominates there). GAT_TPU_V5=1 forces on at any
         # size, =0 forces off.
+        _note_path("v5")
         from ..utils.platform import is_tpu_backend
         interpret = not is_tpu_backend()
         a_src, a_dst = _split_attention_map(params["a"], nh, f)
@@ -652,28 +701,25 @@ def gat_layer_apply(params: Params,
             and not return_attention and not cfg.paper_faithful
             and not cfg.const_attention
             and _v6_env not in ("0", "off")
+            and block_layout.rem_send is None
             and block_layout.eb % 128 == 0
             and block_layout.nb % 128 == 0):
+        # rem_send guard (ADVICE r4): a hybrid layout reaching this
+        # branch would silently drop its remainder edges — hybrid
+        # sharding runs in the dedicated branch below.
         bl = block_layout
         nhfl = ((nh * f + 127) // 128) * 128
-        # same refined scratch model as the single-device gate (dwin
-        # dmax slack + stream buffers; see the v6 section below)
-        budget = float(_os.environ.get("GAT_TPU_V6_VMEM_MB", "15")) * 2**20
+        # SAME gates as the single-device v7 path (shared helpers —
+        # the sharded branch previously kept the retired fixed 200k-lane
+        # cap, silently falling back to sharded v5 on graphs where the
+        # windowed kernel is the measured winner, ADVICE r4)
         _slot = fsw._pair_slot(nh * f) if fsw._v10_sweep1() else 0
         _npk = (128 // _slot) if _slot else 1
-        _dtb = 2 if fsw._v6_dtype() == jnp.bfloat16 else 4
-        _w2 = bl.window // _npk
-        _dx = max(bl.dmax, 0) // _npk
-        row_bytes = (_w2 * (2 * _dtb + 4) + 8 * _dx if bl.dmax >= 0
-                     else _w2 * (2 * _dtb + 8))
-        stream_bytes = (2 * 24 * 4 * bl.eb * 4
-                        + 2 * (_slot or nhfl) * 4 * bl.eb * _dtb)
-        fits = ((128 if _slot else nhfl) * row_bytes
-                + stream_bytes <= budget)
-        narrow = (bl.wb // _npk) * nhfl <= int(_os.environ.get(
-            "GAT_TPU_V6_MAX_WL", str(200 * 1024)))
+        fits = _v7_scratch_fits(bl, nhfl, _slot)
+        narrow = _v7_cost_gate(bl, nhfl, _npk, E)
         if fits and (_v6_env == "1"
                      or (_v6_env == "auto" and narrow)):
+            _note_path("sharded_v7")
             from ..utils.platform import is_tpu_backend
             interpret = not is_tpu_backend()
             kk = jax.lax.axis_size(edge_axis)
@@ -740,6 +786,7 @@ def gat_layer_apply(params: Params,
             and _resolve_backend(backend) == "pallas"
             and not return_attention and not cfg.paper_faithful
             and not cfg.const_attention and src_order is not None):
+        _note_path("sharded_v5")
         from ..utils.platform import is_tpu_backend
         interpret = not is_tpu_backend()
         k = jax.lax.axis_size(edge_axis)
@@ -940,6 +987,9 @@ def gat_layer_apply(params: Params,
         # pre-round-4 return_attention never reached this kernel)
         _nhfl4 = ((nh * f + 127) // 128) * 128
         v4_eb, v4_nb = (1024, 256) if _nhfl4 <= 512 else (256, 128)
+        _note_path("v4_table" if edge_axis is None
+                   else ("sharded_v4_table" if dst_owned
+                         else "sharded_v4_partial"))
         if edge_axis is None:
             # v4 table op: the op owns the node->edge gather (one XLA
             # gather straight into the kernel's edge-major layout — no
@@ -995,6 +1045,7 @@ def gat_layer_apply(params: Params,
             return out, alpha
         return out
 
+    _note_path("xla")
     # (3) segment softmax over in-neighbourhoods — reference :96-109.
     # dst_owned: neighbourhoods are shard-local (receivers re-based to the
     # shard's row range), so the softmax needs no cross-shard completion
@@ -1178,7 +1229,8 @@ def gat_model_apply(params: Params,
                     return_attention: bool = False,
                     edge_axis: Optional[str] = None,
                     backend: str = "auto",
-                    dst_owned: bool = False):
+                    dst_owned: bool = False,
+                    force_windowed: Optional[bool] = None):
     """Full stack: [input dropout -> layer -> skip -> ELU(between)] xL.
     Reference: models/GATModel.py:120-151 (forward) and :153-187
     (forward_and_return_attention — same path, attention captured).
@@ -1239,7 +1291,8 @@ def gat_model_apply(params: Params,
             # (per-shard stacked layouts from partition_edges_by_dst
             # src_windows=True — the sharded v7 branch)
             block_layout=graph.block_layout
-            if (edge_axis is None or dst_owned) else None)
+            if (edge_axis is None or dst_owned) else None,
+            force_windowed=force_windowed)
         if return_attention:
             x, alpha = out
             attention.append(alpha)

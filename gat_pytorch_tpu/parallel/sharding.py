@@ -40,12 +40,20 @@ def _layouts_stackable(graphs: List[Graph]) -> bool:
     if any(b is None for b in bls):
         return False
     b0 = bls[0]
+
+    def _rshape(b):
+        # hybrid remainder fields participate in the tree structure, so
+        # layouts differing there would stack into a confusing tree-map
+        # error instead of being cleanly dropped (ADVICE r4)
+        return (None if b.rem_send is None else b.rem_send.shape, b.rem_e)
+
     return all(
         (b.wb, b.window, b.nb, b.eb, b.dmax)
         == (b0.wb, b0.window, b0.nb, b0.eb, b0.dmax)
         and b.send.shape == b0.send.shape
         and b.base.shape == b0.base.shape
         and b.tile_ptr.shape == b0.tile_ptr.shape
+        and _rshape(b) == _rshape(b0)
         for b in bls)
 
 
@@ -77,7 +85,11 @@ def batch_specs(graph: Graph,
             kw[f.name] = None if bl is None else BlockLayout(
                 send=espec, recv=espec, base=espec, tile_ptr=espec,
                 tile_base=espec, wb=bl.wb, window=bl.window, nb=bl.nb,
-                eb=bl.eb, dmax=bl.dmax)
+                eb=bl.eb, dmax=bl.dmax,
+                rem_send=None if bl.rem_send is None else espec,
+                rem_recv=None if bl.rem_recv is None else espec,
+                rem_order=None if bl.rem_order is None else espec,
+                rem_e=bl.rem_e)
         elif f.name in _META_FIELDS:
             kw[f.name] = getattr(graph, f.name)
         elif getattr(graph, f.name) is None:

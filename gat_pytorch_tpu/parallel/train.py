@@ -39,19 +39,29 @@ def _global_batch_size(mesh: Mesh, local_b: int) -> int:
 
 def make_sharded_train_step(cfg: gat.GATConfig, task: Task, tx,
                             mesh: Mesh, jit: bool = True,
-                            dst_owned: bool = False) -> Callable:
+                            dst_owned: bool = False,
+                            force_windowed=None,
+                            backend: str = "auto") -> Callable:
     """Train step over a stacked GraphBatch (leading dim B divisible by
     the mesh's data-axis size). `jit=False` returns the raw function for
     embedding in a larger compiled program (Trainer.fit_sharded scans a
     whole epoch of batch groups around it). `dst_owned=True` expects
     batches prepared by partition.partition_edges_by_dst and runs the
-    boundary-free layout (one all_gather/layer instead of psums)."""
+    boundary-free layout (one all_gather/layer instead of psums).
+    force_windowed: per-call override of the windowed-kernel gate
+    (True forces the v7 family on, False off, None = env/auto) —
+    the driver dry-run uses it instead of mutating GAT_TPU_V6.
+    backend: forwarded to gat_model_apply — the dry-run passes
+    "pallas" so the windowed kernels run (interpret mode) on the CPU
+    mesh; "auto" resolves to xla off-TPU."""
     need_attention = task.attention_coef != 0.0
 
     def per_graph_loss(params, graph: Graph, rng):
         out = gat.gat_model_apply(params, cfg, graph, rng=rng, training=True,
                                   return_attention=need_attention,
-                                  edge_axis=EDGE_AXIS, dst_owned=dst_owned)
+                                  edge_axis=EDGE_AXIS, dst_owned=dst_owned,
+                                  force_windowed=force_windowed,
+                                  backend=backend)
         if need_attention:
             logits, attention = out
             norm = gat.calc_attention_norm(graph, attention,

@@ -210,6 +210,13 @@ class Trainer:
     #                                      GATModel.on_after_backward,
     #                                      :237-253), logged every
     #                                      max(log_every, 1) epochs
+    prefetch: bool = True                # background device-feed thread
+    #                                      on multi-batch epochs (the
+    #                                      reference's fast_dataloading
+    #                                      DataLoader workers, GATModel.py
+    #                                      :16,273-284); single-batch
+    #                                      epochs skip it (nothing to
+    #                                      overlap)
     checkpoint_every_n_epochs: int = 0   # 0 = best-only; N > 0 also saves
     #                                      <checkpoint_dir>/epoch-<E> every
     #                                      N epochs (the reference ships
@@ -303,8 +310,14 @@ class Trainer:
         try:
             for epoch in range(self.max_epochs):
                 batches = reshuffle(epoch) if reshuffle else train_data
+                stream = batches
+                if self.prefetch and len(batches) > 1:
+                    # overlap host batch prep + H2D with device compute
+                    # (reference fast_dataloading counterpart)
+                    from ..data.prefetch import PrefetchIterator
+                    stream = PrefetchIterator(batches, depth=2)
                 train_mets = []
-                for g in batches:
+                for g in stream:
                     state, m = train_step(state, g)
                     train_mets.append(m)
                 val_mets = [val_step(state.params, g) for g in val_data]
@@ -596,10 +609,24 @@ class Trainer:
         stopped = False
         t0 = time.time()
         logger = self._logger()
-        try:
+
+        def epoch_groups():
             for epoch in range(self.max_epochs):
-                groups = group(list(reshuffle(epoch) if reshuffle
-                                    else train_data))
+                yield group(list(reshuffle(epoch) if reshuffle
+                                 else train_data))
+
+        group_stream = epoch_groups()
+        if self.prefetch and self.max_epochs > 1:
+            # one-ahead builder thread: epoch e+1's partition/stack/
+            # device_put (all host work) overlaps epoch e's device scan.
+            # put=False — group() already placed arrays with their
+            # NamedShardings.
+            from ..data.prefetch import PrefetchIterator
+            group_stream = PrefetchIterator(group_stream, depth=1,
+                                            put=False)
+        try:
+            for epoch, groups in zip(range(self.max_epochs),
+                                     group_stream):
                 state, tmets = train_epoch(state, groups)
                 vmets = val_epoch(state.params, val_groups)
                 row = {k: float(np.mean(np.asarray(v)))
