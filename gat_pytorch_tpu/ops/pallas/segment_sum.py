@@ -117,6 +117,60 @@ def _kernel_rows(tile_off_ref, vals_hbm, ids_hbm, acc_ref, vbuf, ibuf,
     jax.lax.fori_loop(0, nblocks, body, 0)
 
 
+def _kernel_rows_nt(tile_off_ref, vals_hbm, ids_hbm, acc_ref, vbuf, ibuf,
+                    sems, *, eb: int, nb: int, dl: int):
+    """No-transpose row-major variant: contracts the one-hot's LANE axis
+    against the value block's SUBLANE axis — the 'mixed' MXU form the
+    round-2 sweep measured 2x slower per MAC — but skips the per-block
+    (EB, DL) on-chip transpose AND the final XLA (DL, N_pad) transpose
+    entirely (the accumulator is (NB, DL) row-major, which is d_table's
+    layout). Which effect wins is workload-dependent: probe_bwd_path
+    measures both on the scale shapes."""
+    i = pl.program_id(0)
+    lo = (tile_off_ref[i] // eb) * eb
+    hi = tile_off_ref[i + 1]
+    nblocks = pl.cdiv(hi - lo, eb)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def dma_v(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(vals_hbm.at[pl.ds(start, eb), :],
+                                     vbuf.at[slot], sems.at[slot, 0])
+
+    def dma_i(slot, b):
+        start = pl.multiple_of(lo + b * eb, eb)
+        return pltpu.make_async_copy(ids_hbm.at[:, pl.ds(start, eb)],
+                                     ibuf.at[slot], sems.at[slot, 1])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma_v(0, 0).start()
+        dma_i(0, 0).start()
+
+    def body(b, _):
+        slot = b % 2
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            dma_v((b + 1) % 2, b + 1).start()
+            dma_i((b + 1) % 2, b + 1).start()
+
+        dma_v(slot, b).wait()
+        dma_i(slot, b).wait()
+        vals = vbuf[slot].astype(jnp.float32)               # (EB, DL)
+        id_row = ibuf[slot][0:1, :]                         # (1, EB)
+        rows = (i * nb
+                + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+                ).astype(jnp.float32)
+        onehot_t = (id_row == rows).astype(jnp.float32)     # (NB, EB)
+        acc_ref[:] += jax.lax.dot_general(
+            onehot_t, vals, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (NB, DL)
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, body, 0)
+
+
 def segment_sum_pallas_rows(values: jax.Array,   # (E_rows, DL) row-major
                             segment_ids: jax.Array,  # (E,) int32 sorted
                             num_segments: int,
@@ -124,11 +178,15 @@ def segment_sum_pallas_rows(values: jax.Array,   # (E_rows, DL) row-major
                             eb: int = 1024,
                             nb: int = 256,
                             interpret: bool = False,
-                            vma: tuple = ()) -> jax.Array:
+                            vma: tuple = (),
+                            no_transpose: bool = False) -> jax.Array:
     """Sorted segment sum over ROW-major values whose row count may
     exceed len(segment_ids) by >= eb (over-read region must be zeros —
     e.g. the split backward's d_h output). Lane count must be a multiple
-    of 128. Returns (num_segments, DL)."""
+    of 128. Returns (num_segments, DL).
+
+    no_transpose=True uses the _kernel_rows_nt formulation (mixed-axis
+    MXU contraction, no per-block transpose, row-major accumulator)."""
     e = segment_ids.shape[0]
     e_rows, dl = values.shape
     assert dl % 128 == 0, dl
@@ -147,13 +205,17 @@ def segment_sum_pallas_rows(values: jax.Array,   # (E_rows, DL) row-major
     tile_off = jnp.searchsorted(segment_ids, bounds, side="left"
                                 ).astype(jnp.int32)
 
+    out_spec = (pl.BlockSpec((nb, dl), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+                if no_transpose else
+                pl.BlockSpec((d8, nb), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=pl.BlockSpec((d8, nb), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, eb, dl), values.dtype),
             pltpu.VMEM((2, 8, eb), jnp.float32),
@@ -161,6 +223,19 @@ def segment_sum_pallas_rows(values: jax.Array,   # (E_rows, DL) row-major
         ],
     )
     sds_kw = {"vma": frozenset(vma)} if vma else {}
+    if no_transpose:
+        acc = pl.pallas_call(
+            functools.partial(_kernel_rows_nt, eb=eb, nb=nb, dl=dl),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, dl), jnp.float32,
+                                           **sds_kw),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * (e + eb) * nb * d8,
+                bytes_accessed=(e + eb) * (dl + 8) * 4 + n_pad * d8 * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(tile_off, values, ids)
+        return acc[:num_segments, :]
     acc = pl.pallas_call(
         functools.partial(_kernel_rows, eb=eb, nb=nb, d8=d8, dl=dl),
         grid_spec=grid_spec,
