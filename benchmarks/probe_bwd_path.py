@@ -133,13 +133,24 @@ def main() -> None:
     rows0 = jax.random.normal(jax.random.key(2), (e_pad + eb_ext, dl),
                               jnp.float32)
 
-    for tag, nt in (("t", False), ("nt", True)):
-        for eb, nb in ((512, 256), (1024, 256), (1024, 512), (2048, 256)):
-            def body(carry, eb=eb, nb=nb, nt=nt):
+    variants = [("t", False, None), ("nt", True, None),
+                ("ntb", True, jnp.bfloat16)]
+    only = os.environ.get("GAT_TPU_PROBE_ONLY")
+    for tag, nt, ddt in variants:
+        if only and tag not in only.split(","):
+            continue
+        cfgs = ((512, 256), (1024, 256), (1024, 512), (2048, 256),
+                (2048, 512))
+        env_cfgs = os.environ.get("GAT_TPU_PROBE_CFGS")
+        if env_cfgs:
+            cfgs = tuple(tuple(map(int, c.split("x")))
+                         for c in env_cfgs.split(","))
+        for eb, nb in cfgs:
+            def body(carry, eb=eb, nb=nb, nt=nt, ddt=ddt):
                 rows, s = carry
                 d = segment_sum_pallas_rows(
                     rows, ids_j, n, eb=eb, nb=nb, interpret=interp,
-                    no_transpose=nt)
+                    no_transpose=nt, dot_dtype=ddt)
                 val = jnp.sum(d[:8, :1])
                 return (rows * (1.0 + 0.0 * val), s + val)
 

@@ -30,7 +30,7 @@ import numpy as np
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["send", "recv", "base", "tile_ptr", "tile_base",
-                      "rem_send", "rem_recv", "rem_order"],
+                      "rem_send", "rem_recv", "rem_order", "rem_count"],
          meta_fields=["wb", "window", "nb", "eb", "dmax", "rem_e"])
 @dataclasses.dataclass(frozen=True)
 class BlockLayout:
@@ -67,6 +67,12 @@ class BlockLayout:
     rem_recv: Optional[jax.Array] = None   # (Er,) int32 dst-sorted
     rem_order: Optional[jax.Array] = None  # (Er,) int32 sender-sort perm
     rem_e: int = 0        # static: real (unpadded) remainder edge count
+    # sharded hybrid (partition_edges_by_dst(hybrid=True)): per-shard
+    # remainder counts as DATA — shards have unequal remainders, and a
+    # static can't vary across a stacked layout. (k,) int32 stacked
+    # along axis 0 like every other layout array; None on single-device
+    # layouts (rem_e covers those).
+    rem_count: Optional[jax.Array] = None
 
     @property
     def num_slots(self) -> int:

@@ -503,7 +503,8 @@ def compute_hybrid_layout(senders: np.ndarray, receivers: np.ndarray,
                           eb: Optional[int] = None,
                           max_window: Optional[int] = None,
                           target_local_frac: float = 0.85,
-                          min_local_frac: float = 0.5) -> BlockLayout:
+                          min_local_frac: float = 0.5,
+                          n_src: Optional[int] = None) -> BlockLayout:
     """SPLIT-LOCALITY layout (VERDICT r3 item 3): per nb-row destination
     tile, choose ONE static-width-W sender window maximising covered
     edges; in-window edges build the v7 block layout (windowed kernel,
@@ -553,7 +554,7 @@ def compute_hybrid_layout(senders: np.ndarray, receivers: np.ndarray,
         spans.append(int((tile[k - 1:] - tile[:mt - k + 1]).min()) + 1)
     if not spans:
         return compute_block_layout(senders, receivers, e, n_pad,
-                                    nb=nb, eb=eb)
+                                    nb=nb, eb=eb, n_src=n_src)
     spans = np.asarray(spans)
     cands = sorted({int(round_up(int(q), 128)) for q in
                     np.quantile(spans, [0.5, 0.75, 0.9, 1.0])})
@@ -588,13 +589,13 @@ def compute_hybrid_layout(senders: np.ndarray, receivers: np.ndarray,
         # not enough locality to pay for the split (or nothing to
         # split): plain layout
         return compute_block_layout(senders, receivers, e, n_pad,
-                                    nb=nb, eb=eb)
+                                    nb=nb, eb=eb, n_src=n_src)
 
     # local part -> v7 block layout (edge order within the subset is
     # irrelevant; compute_block_layout re-sorts per tile)
     keep = order[mask]
     bl = compute_block_layout(s[np.sort(keep)], r[np.sort(keep)],
-                              keep.size, n_pad, nb=nb, eb=eb)
+                              keep.size, n_pad, nb=nb, eb=eb, n_src=n_src)
     # remainder -> dst-sorted + sender-sort permutation, padded to a
     # 128-multiple with sink edges (id n_pad-1: sorts last, masked by
     # e_real in the v5 kernel)
@@ -603,9 +604,14 @@ def compute_hybrid_layout(senders: np.ndarray, receivers: np.ndarray,
     rs, rr_ = s[rem], r[rem]
     er = rem.size
     er_pad = round_up(max(er, 128), 128)
-    sink = n_pad - 1
+    # pad senders index the SOURCE table (global under the dst-owner
+    # sharded layout, where n_src covers the replicated node range);
+    # pad receivers stay in the local dst range. Both are masked by
+    # e_real in the v5 kernels — the sink choice only keeps sorts tidy.
+    sink = (n_src if n_src is not None else n_pad) - 1
+    rsink = n_pad - 1
     rs = np.concatenate([rs, np.full(er_pad - er, sink, np.int64)])
-    rr_ = np.concatenate([rr_, np.full(er_pad - er, sink, np.int64)])
+    rr_ = np.concatenate([rr_, np.full(er_pad - er, rsink, np.int64)])
     rorder = np.argsort(rs, kind="stable")
     return BlockLayout(
         send=bl.send, recv=bl.recv, base=bl.base, tile_ptr=bl.tile_ptr,

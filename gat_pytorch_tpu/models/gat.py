@@ -824,6 +824,107 @@ def gat_layer_apply(params: Params,
                 out = out + params["bias"]
             return out
 
+    # ---- sharded HYBRID split-locality on the dst-owner layout ----------
+    # VERDICT r4 item 3b: community graphs at scale lost the +58%
+    # clustered-5M hybrid win the moment they sharded (the split-locality
+    # family was single-device-only). Per shard: the v7 windowed kernel
+    # covers the shard's in-window edges and the v5 table kernel its
+    # remainder — both UNNORMALISED single-sweep parts, additive over
+    # any edge partition — the reference's GLOBAL cap is the pmax/psum-
+    # owner max of the two ops' caps across shards (jnp.maximum routes
+    # the cotangent to the winning op's argmax chain on the owner), the
+    # softmax completes in a local XLA epilogue, and one tiled
+    # all_gather assembles the layer output. Layouts come from
+    # partition_edges_by_dst(src_windows=True, hybrid=True): per-shard
+    # remainders are padded to one bucket with real counts in rem_count.
+    if (edge_axis is not None and dst_owned and block_layout is not None
+            and block_layout.rem_send is not None
+            and block_layout.rem_count is not None
+            and _resolve_backend(backend) == "pallas"
+            and not return_attention and not cfg.paper_faithful
+            and not cfg.const_attention
+            and _v6_env not in ("0", "off")
+            and fsw._v10_sweep1()
+            and block_layout.eb % 128 == 0
+            and block_layout.nb % 128 == 0):
+        bl = block_layout
+        nhfl = ((nh * f + 127) // 128) * 128
+        _slot = fsw._pair_slot(nh * f) if fsw._v10_sweep1() else 0
+        _npk = (128 // _slot) if _slot else 1
+        fits = _v7_scratch_fits(bl, nhfl, _slot)
+        narrow = _v7_cost_gate(bl, nhfl, _npk, E)
+        if fits and (_v6_env == "1"
+                     or (_v6_env == "auto" and narrow)):
+            _note_path("sharded_v7_hybrid")
+            from ..utils.platform import is_tpu_backend
+            interpret = not is_tpu_backend()
+            kk = jax.lax.axis_size(edge_axis)
+            rows = num_nodes // kk
+            shard_lo = jax.lax.axis_index(edge_axis) * rows
+            a_src, a_dst = _split_attention_map(params["a"], nh, f)
+            h_local = jax.lax.dynamic_slice_in_dim(h_flat, shard_lo,
+                                                   rows, 0)
+            s_both = jnp.dot(h_local, jnp.concatenate([a_src, a_dst], 1),
+                             preferred_element_type=jnp.float32)
+            s_dst_local = s_both[:, nh:]
+            # global score bound (see the plain sharded v7 branch above:
+            # pmax src and dst maxes separately; B cancels algebraically)
+            b = (jax.lax.pmax(jax.lax.stop_gradient(
+                    jnp.max(s_both[:, :nh])), edge_axis)
+                 + jax.lax.pmax(jax.lax.stop_gradient(
+                    jnp.max(s_dst_local)), edge_axis))
+            if training and cfg.dropout > 0.0 and rng is not None:
+                rng = jax.random.fold_in(rng,
+                                         jax.lax.axis_index(edge_axis))
+                r1, r2 = jax.random.split(rng)
+            else:
+                r1 = r2 = rng
+
+            def mk(e_slots, key):
+                if not (training and cfg.dropout > 0.0):
+                    return None
+                if key is None:
+                    raise ValueError("rng required for attention dropout")
+                keep = jax.random.bernoulli(
+                    key, 1.0 - cfg.dropout, (e_slots, nh))
+                return keep.astype(jnp.float32) / (1.0 - cfg.dropout)
+
+            num1, den1, cap1, _c1 = fsw.v7_sweep1_parts(
+                h_flat, a_src, s_dst_local - b,
+                mk(bl.send.shape[0], r1),
+                bl.send, bl.recv, bl.base, bl.tile_ptr, bl.tile_base,
+                rows, nh, f, bl.window, bl.wb, 1e-8, cfg.slope,
+                bl.eb, bl.nb, interpret, bl.dmax)
+            rem_e7 = bl.rem_send.shape[0]
+            v5_eb, v5_nb = (512, 256) if nhfl <= 512 else (256, 128)
+            num2, den2, cap2, _c2 = fsa.v5_sweep1_parts(
+                h_flat, a_src, s_dst_local - b,
+                mk(rem_e7, r2),
+                bl.rem_send, bl.rem_recv, bl.rem_order,
+                bl.rem_count.reshape(()), rows, nh, f, 1e-8,
+                cfg.slope, v5_eb, v5_nb, interpret, num_nodes)
+            capl = jnp.maximum(cap1, cap2)
+            local_sg = jax.lax.stop_gradient(capl)
+            global_max = jax.lax.pmax(local_sg, edge_axis)
+            idx = jax.lax.axis_index(edge_axis)
+            cand = jnp.where(local_sg >= global_max, idx,
+                             jax.lax.axis_size(edge_axis))
+            owner = idx == jax.lax.pmin(cand, edge_axis)
+            capg = jax.lax.psum(jnp.where(owner, capl, 0.0), edge_axis)
+            epsp = 1e-8 * jnp.exp(cfg.slope * capg)
+            den = den1 + den2
+            inv = jnp.where(den > 0.0, 1.0 / (den + epsp), 0.0)
+            out_local = ((num1 + num2).reshape(rows, nh, f)
+                         * inv[:, :, None]).reshape(rows, nh * f)
+            out = _ag_tiled(out_local, edge_axis)
+            if cfg.concat:
+                out = out.reshape(num_nodes, nh * f)
+            else:
+                out = jnp.mean(out.reshape(num_nodes, nh, f), axis=1)
+            if cfg.bias:
+                out = out + params["bias"]
+            return out
+
     # ---- v5 on the dst-owner sharded layout -----------------------------
     # each shard owns whole dst segments (parallel/partition.py), so the
     # whole-fusion kernel runs per shard over its LOCAL dst rows with

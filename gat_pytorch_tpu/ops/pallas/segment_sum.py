@@ -118,7 +118,8 @@ def _kernel_rows(tile_off_ref, vals_hbm, ids_hbm, acc_ref, vbuf, ibuf,
 
 
 def _kernel_rows_nt(tile_off_ref, vals_hbm, ids_hbm, acc_ref, vbuf, ibuf,
-                    sems, *, eb: int, nb: int, dl: int):
+                    sems, *, eb: int, nb: int, dl: int,
+                    dot_dtype=None):
     """No-transpose row-major variant: contracts the one-hot's LANE axis
     against the value block's SUBLANE axis — the 'mixed' MXU form the
     round-2 sweep measured 2x slower per MAC — but skips the per-block
@@ -157,12 +158,13 @@ def _kernel_rows_nt(tile_off_ref, vals_hbm, ids_hbm, acc_ref, vbuf, ibuf,
 
         dma_v(slot, b).wait()
         dma_i(slot, b).wait()
-        vals = vbuf[slot].astype(jnp.float32)               # (EB, DL)
+        dt = dot_dtype or jnp.float32
+        vals = vbuf[slot].astype(dt)                        # (EB, DL)
         id_row = ibuf[slot][0:1, :]                         # (1, EB)
         rows = (i * nb
                 + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
                 ).astype(jnp.float32)
-        onehot_t = (id_row == rows).astype(jnp.float32)     # (NB, EB)
+        onehot_t = (id_row == rows).astype(dt)              # (NB, EB)
         acc_ref[:] += jax.lax.dot_general(
             onehot_t, vals, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (NB, DL)
@@ -179,14 +181,19 @@ def segment_sum_pallas_rows(values: jax.Array,   # (E_rows, DL) row-major
                             nb: int = 256,
                             interpret: bool = False,
                             vma: tuple = (),
-                            no_transpose: bool = False) -> jax.Array:
+                            no_transpose: bool = False,
+                            dot_dtype=None) -> jax.Array:
     """Sorted segment sum over ROW-major values whose row count may
     exceed len(segment_ids) by >= eb (over-read region must be zeros —
     e.g. the split backward's d_h output). Lane count must be a multiple
     of 128. Returns (num_segments, DL).
 
     no_transpose=True uses the _kernel_rows_nt formulation (mixed-axis
-    MXU contraction, no per-block transpose, row-major accumulator)."""
+    MXU contraction, no per-block transpose, row-major accumulator).
+    dot_dtype=jnp.bfloat16 (nt only) runs the one-hot contraction at
+    the MXU's native single-pass rate — the f32 dot runs a multi-pass
+    decomposition; values are bf16-rounded before the f32-accumulated
+    sum (the GEMM-input rounding class, probe_bwd_path measures it)."""
     e = segment_ids.shape[0]
     e_rows, dl = values.shape
     assert dl % 128 == 0, dl
@@ -225,7 +232,8 @@ def segment_sum_pallas_rows(values: jax.Array,   # (E_rows, DL) row-major
     sds_kw = {"vma": frozenset(vma)} if vma else {}
     if no_transpose:
         acc = pl.pallas_call(
-            functools.partial(_kernel_rows_nt, eb=eb, nb=nb, dl=dl),
+            functools.partial(_kernel_rows_nt, eb=eb, nb=nb, dl=dl,
+                              dot_dtype=dot_dtype),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_pad, dl), jnp.float32,
                                            **sds_kw),

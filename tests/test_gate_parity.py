@@ -52,6 +52,7 @@ def _specs_for(g):
         rem_send=None if bl.rem_send is None else espec,
         rem_recv=None if bl.rem_recv is None else espec,
         rem_order=None if bl.rem_order is None else espec,
+        rem_count=None if bl.rem_count is None else espec,
         rem_e=bl.rem_e)
     return g.replace(
         x=nspec, senders=espec, receivers=espec, edge_mask=espec,

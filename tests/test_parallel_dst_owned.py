@@ -73,7 +73,12 @@ def _specs_for(g):
     blspec = None if bl is None else BlockLayout(
         send=espec, recv=espec, base=espec, tile_ptr=espec,
         tile_base=espec, wb=bl.wb, window=bl.window, nb=bl.nb,
-        eb=bl.eb, dmax=bl.dmax)
+        eb=bl.eb, dmax=bl.dmax,
+        rem_send=None if bl.rem_send is None else espec,
+        rem_recv=None if bl.rem_recv is None else espec,
+        rem_order=None if bl.rem_order is None else espec,
+        rem_count=None if bl.rem_count is None else espec,
+        rem_e=bl.rem_e)
     gspecs = g.replace(x=nspec, senders=espec, receivers=espec,
                        edge_mask=espec, node_mask=nspec, y=nspec,
                        graph_ids=nspec, src_order=espec,
@@ -596,3 +601,108 @@ def test_dst_owned_bf16_transport_close_to_f32(monkeypatch):
                                rtol=0.05, atol=0.02)
     assert not np.array_equal(np.asarray(got), np.asarray(want)), \
         "bf16 transport must actually round (env plumbed through)"
+
+
+def _clustered_graph(seed=0, num_nodes=192, communities=6, deg=5,
+                     num_feats=12, num_classes=4):
+    """Small SBM whose locality is cluster-structured — the hybrid
+    split-locality domain (bench.clustered_workload in miniature)."""
+    rng = np.random.default_rng(seed)
+    e = num_nodes * deg
+    labels = rng.integers(0, communities, num_nodes)
+    members = [np.where(labels == c)[0] for c in range(communities)]
+    senders = rng.integers(0, num_nodes, e)
+    receivers = np.empty(e, dtype=np.int64)
+    same = rng.random(e) < 0.9
+    receivers[~same] = rng.integers(0, num_nodes, int((~same).sum()))
+    for c in range(communities):
+        pick = same & (labels[senders] == c)
+        if len(members[c]):
+            receivers[pick] = members[c][
+                rng.integers(0, len(members[c]), int(pick.sum()))]
+        else:
+            receivers[pick] = rng.integers(0, num_nodes, int(pick.sum()))
+    x = rng.normal(size=(num_nodes, num_feats)).astype(np.float32)
+    y = (rng.random((num_nodes, num_classes)) > 0.5).astype(np.float32)
+    return T.canonicalize(x, senders, receivers, y=y, reorder="cluster",
+                          node_bucket=256, edge_bucket=2048,
+                          pad_multiple=32)
+
+
+def _hybrid_partition(g, k):
+    g2, _ = partition_edges_by_dst(g, k, pad_multiple=32,
+                                   src_windows=True, hybrid=True,
+                                   nb=128, eb=128)
+    bl = g2.block_layout
+    assert bl is not None and bl.rem_send is not None, \
+        "hybrid partition must produce per-shard remainders"
+    assert bl.rem_count is not None and int(np.asarray(
+        bl.rem_count).sum()) > 0
+    return g2
+
+
+def test_sharded_hybrid_forward_matches_unsharded(monkeypatch):
+    """Per-shard v7 windowed parts + v5 remainder parts + owner-psum cap
+    + local epilogue + one all_gather == the unsharded model (VERDICT r4
+    item 3b: the hybrid family was single-device-only)."""
+    from jax.sharding import PartitionSpec as P
+    monkeypatch.setenv("GAT_TPU_V6_DTYPE", "float32")
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    cfg = tiny_cfg()
+    g = _clustered_graph(seed=31)
+    g2 = _hybrid_partition(g, k)
+    params = gat.init_gat_model(jax.random.key(19), cfg)
+    want = gat.gat_model_apply(params, cfg, g, training=False,
+                               backend="xla")
+
+    def body(p, graph):
+        return gat.gat_model_apply(p, cfg, graph, training=False,
+                                   edge_axis="edge", dst_owned=True,
+                                   backend="pallas", force_windowed=True)
+
+    gat.PATH_TRACE.clear()
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), _specs_for(g2)), out_specs=P(),
+        check_vma=False))(params, g2)
+    assert "sharded_v7_hybrid" in gat.PATH_TRACE, gat.PATH_TRACE
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_hybrid_grads_match_unsharded(monkeypatch):
+    """Gradients through the sharded hybrid path (both ops' parts VJPs,
+    the maximum-routed cap cotangent on the owner shard, and the
+    dst_owned 1/K + psum convention)."""
+    from jax.sharding import PartitionSpec as P
+    monkeypatch.setenv("GAT_TPU_V6_DTYPE", "float32")
+    k = 4
+    mesh = parallel.make_mesh(data=1, edge=k, devices=jax.devices()[:k])
+    cfg = tiny_cfg()
+    g = _clustered_graph(seed=32)
+    g2 = _hybrid_partition(g, k)
+    params = gat.init_gat_model(jax.random.key(20), cfg)
+
+    def loss_of(p, graph, ea, do, backend, fw=None):
+        out = gat.gat_model_apply(p, cfg, graph, training=False,
+                                  edge_axis=ea, dst_owned=do,
+                                  backend=backend, force_windowed=fw)
+        return jnp.mean(out ** 2)
+
+    want = jax.grad(loss_of)(params, g, None, False, "xla")
+
+    def body(p, graph):
+        def scaled(p):
+            return loss_of(p, graph, "edge", True, "pallas",
+                           True) / jax.lax.axis_size("edge")
+        return jax.lax.psum(jax.grad(scaled)(p), "edge")
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), _specs_for(g2)), out_specs=P(),
+        check_vma=False))(params, g2)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got),
+            jax.tree_util.tree_leaves_with_path(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
