@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--nodes", type=int, default=100_000)
     ap.add_argument("--deg", type=int, default=10)
     ap.add_argument("--features", type=int, default=50)
+    ap.add_argument("--banded", type=int, default=0,
+                    help="banded senders (windowed-kernel-eligible "
+                         "graph, canonicalised with src_windows) — the "
+                         "round-5 lambda A/B: v7+alpha-replica vs the "
+                         "round-4 v4+XLA-alpha path (GAT_TPU_V6=0) vs "
+                         "the full XLA fallback")
     args = ap.parse_args()
 
     from gat_pytorch_tpu.graph import transforms as T
@@ -36,11 +42,18 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     n, e = args.nodes, args.nodes * args.deg
-    senders = rng.integers(0, n, e)
-    receivers = rng.integers(0, n, e)
+    if args.banded:
+        receivers = rng.integers(0, n, e)
+        senders = np.clip(
+            receivers + rng.integers(-args.banded // 2,
+                                     args.banded // 2, e), 0, n - 1)
+    else:
+        senders = rng.integers(0, n, e)
+        receivers = rng.integers(0, n, e)
     x = rng.normal(size=(n, args.features)).astype(np.float32)
     y = (rng.random((n, 8)) > 0.5).astype(np.float32)
-    graph = T.canonicalize(x, senders, receivers, y=y)
+    graph = T.canonicalize(x, senders, receivers, y=y,
+                           src_windows=bool(args.banded))
     # PPI-flavoured shape at benchable scale
     cfg = GATConfig(
         num_input_node_features=args.features, num_layers=2,
@@ -52,8 +65,18 @@ def main() -> None:
     inner = int(os.environ.get("GAT_TPU_BENCH_INNER", "20"))
     iters = int(os.environ.get("GAT_TPU_BENCH_ITERS", "3"))
 
-    for backend in ("xla", "pallas"):
-        os.environ["GAT_TPU_BACKEND"] = backend
+    cases = [("xla", None), ("pallas", None)]
+    if args.banded:
+        # v4+XLA-alpha (the round-4 lambda path) vs v7+alpha-replica
+        cases = [("xla", None), ("pallas_v4", "off"), ("pallas", None)]
+    for backend, v6 in cases:
+        os.environ["GAT_TPU_BACKEND"] = backend.split("_")[0]
+        if v6 is None:
+            os.environ.pop("GAT_TPU_V6", None)
+            os.environ.pop("GAT_TPU_V5", None)
+        else:
+            os.environ["GAT_TPU_V6"] = v6
+            os.environ["GAT_TPU_V5"] = v6
         dt = bench.measure_train_step(cfg, graph, task, 1e-3, 0.0,
                                       inner, iters)
         print(json.dumps({

@@ -36,6 +36,15 @@ def main(argv=None) -> int:
     ap.add_argument("--banded", type=int, default=0,
                     help="senders within BAND of their receiver (the "
                          "bench.py banded workload class); 0 = random")
+    ap.add_argument("--clustered", action="store_true",
+                    help="community SBM (bench.py clustered workload "
+                         "class) with reorder='cluster'; combine with "
+                         "--dst_owned --hybrid for the round-5 sharded "
+                         "split-locality path")
+    ap.add_argument("--hybrid", action="store_true",
+                    help="partition with hybrid=True (per-shard "
+                         "split-locality layouts: v7 windows + v5 "
+                         "remainder)")
     ap.add_argument("--windowed", action="store_true",
                     help="partition with src_windows=True so the "
                          "dst-owner layer runs the v7/v10/v11 windowed "
@@ -71,7 +80,20 @@ def main(argv=None) -> int:
 
     rng = np.random.default_rng(0)
     n = args.nodes
-    if args.banded:
+    if args.clustered:
+        communities, homophily = 64, 0.9
+        e = n * args.deg
+        labels = rng.integers(0, communities, n)
+        members = [np.where(labels == c)[0] for c in range(communities)]
+        senders = rng.integers(0, n, e)
+        receivers = np.empty(e, dtype=np.int64)
+        same = rng.random(e) < homophily
+        receivers[~same] = rng.integers(0, n, int((~same).sum()))
+        for c in range(communities):
+            pick = same & (labels[senders] == c)
+            receivers[pick] = members[c][rng.integers(
+                0, len(members[c]), int(pick.sum()))]
+    elif args.banded:
         receivers = rng.integers(0, n, n * args.deg)
         senders = np.clip(
             receivers + rng.integers(-args.banded // 2, args.banded // 2,
@@ -82,7 +104,8 @@ def main(argv=None) -> int:
         receivers = rng.integers(0, n, n * args.deg)
     x = rng.normal(size=(n, 64)).astype(np.float32)
     y = (rng.random((n, 8)) > 0.5).astype(np.float32)
-    g = T.canonicalize(x, senders, receivers, y=y)
+    g = T.canonicalize(x, senders, receivers, y=y,
+                       reorder="cluster" if args.clustered else None)
     e_real = int(np.asarray(g.edge_mask).sum())
     if os.environ.get("GAT_TPU_GEMM_DTYPE") == "bfloat16":
         import dataclasses
@@ -91,7 +114,20 @@ def main(argv=None) -> int:
         from gat_pytorch_tpu.parallel.partition import partition_edges_by_dst
         g, _ = partition_edges_by_dst(g, len(jax.devices()),
                                       pad_multiple=64,
-                                      src_windows=args.windowed)
+                                      src_windows=(args.windowed
+                                                   or args.hybrid),
+                                      hybrid=args.hybrid)
+        if args.hybrid:
+            bl = g.block_layout
+            print("hybrid layout:", {
+                "slots": int(bl.send.shape[0]), "wb": bl.wb,
+                "window": bl.window, "eb": bl.eb, "nb": bl.nb,
+                "dmax": bl.dmax,
+                "rem_bucket": (0 if bl.rem_send is None
+                               else int(bl.rem_send.shape[0])),
+                "rem_counts": (None if bl.rem_count is None else
+                               np.asarray(bl.rem_count).tolist())},
+                flush=True)
         if args.windowed:
             bl = g.block_layout
             print("shard layout:", {"slots": int(bl.send.shape[0]),
@@ -99,7 +135,7 @@ def main(argv=None) -> int:
                                     "eb": bl.eb, "nb": bl.nb,
                                     "dmax": bl.dmax}, flush=True)
     batch = parallel.stack_graphs([g])
-    if args.windowed:
+    if args.windowed or args.hybrid:
         assert batch.block_layout is not None
 
     if args.bench_model:
@@ -164,6 +200,8 @@ def main(argv=None) -> int:
         "check": "sharded_pallas_compiled_train_step",
         "layout": "dst_owned" if args.dst_owned else "cut_neighbourhood",
         "windowed": args.windowed,
+        "hybrid": args.hybrid,
+        "clustered": args.clustered,
         "banded": args.banded,
         "v5": os.environ.get("GAT_TPU_V5", "auto"),
         "mesh": dict(mesh.shape),

@@ -571,14 +571,8 @@ def _fsat_bwd(num_nodes, nh, f, eps, eb, nb, interpret, num_src_nodes,
         # extend the permutation into d_h's zero overrun rows so the
         # rows kernel can over-read full blocks; their ids point past
         # every segment tile (ignored by the one-hot)
-        ext = jnp.arange(e, e + eb, dtype=src_order.dtype)
-        g_sorted = jnp.take(d_h, jnp.concatenate([src_order, ext]),
-                            axis=0)                         # (E+eb, NHFL)
-        ids_sorted = jnp.take(senders, src_order, axis=0)
-        from .segment_sum import segment_sum_pallas_rows
-        d_table = segment_sum_pallas_rows(g_sorted, ids_sorted, n_src,
-                                          eb=eb, nb=nb,
-                                          interpret=interpret, vma=vma)
+        d_table = _dh_reduce(d_h, src_order, senders, e, eb, n_src,
+                             interpret, vma=vma)
         return (d_logits, d_table[:, :nh * f], None, None, d_drop, None)
     g_rows = (d_h[:e, :nhf8] if rowmajor
               else d_h[:nhf8, :e].T)                        # (E, NHF8)
@@ -915,6 +909,35 @@ def _kernel_v5(pref_ref,           # (T+2,) int32: tile offsets | e_real
     acc_ref[:nhf8, :] = acc_ref[:nhf8, :] * inv_wide
 
 
+def _dh_reduce(d_h_rows, src_order, senders, e, op_eb, n_src,
+               interpret, vma=()):
+    """d(h) node reduction shared by every fused backward: permute the
+    kernel's dst-block-ordered rows to src order (jnp.take — measured AT
+    the 4 KB/row random floor; PROMISE_IN_BOUNDS and bf16 rows were both
+    no-wins, probe_bwd_path round 5) and sorted-reduce by sender with
+    the best measured kernel config: the NO-TRANSPOSE rows kernel at
+    eb=1024 / nb=512 (18.37 vs the old 20.25 ms at 5.5M edges x 128
+    lanes; bf16 one-hot dots a wash — the reduce is per-block-overhead
+    bound, not MXU bound). GAT_TPU_DH_REDUCE_{EB,NB,NT} retune."""
+    import os
+    from .segment_sum import segment_sum_pallas_rows
+    r_eb = int(os.environ.get("GAT_TPU_DH_REDUCE_EB", "1024"))
+    r_nb = int(os.environ.get("GAT_TPU_DH_REDUCE_NB", "512"))
+    r_nt = os.environ.get("GAT_TPU_DH_REDUCE_NT", "1") != "0"
+    idx = jnp.concatenate([
+        src_order, jnp.arange(e, e + op_eb, dtype=src_order.dtype)])
+    if r_eb > op_eb:
+        # extra index rows repeat the first zero-overrun row so the
+        # reduce kernel's block over-read stays zeros at its bigger eb
+        idx = jnp.concatenate([idx, jnp.full((r_eb - op_eb,), e,
+                                             src_order.dtype)])
+    g_sorted = jnp.take(d_h_rows, idx, axis=0)
+    ids_sorted = jnp.take(senders, src_order, axis=0)
+    return segment_sum_pallas_rows(g_sorted, ids_sorted, n_src,
+                                   eb=r_eb, nb=r_nb, interpret=interpret,
+                                   vma=vma, no_transpose=r_nt)
+
+
 def _pack_meta_v5(drop_mask, receivers, nh8, eb):
     parts = []
     if drop_mask is not None:
@@ -1063,14 +1086,9 @@ def _fgt_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret,
     # d(h): row-major cotangent -> sorted scatter (no narrow arrays);
     # the table covers num_src_nodes rows (== num_nodes unless the
     # dst-owner sharded layout gathers from the full replicated table)
-    ext = jnp.arange(e, e + eb, dtype=src_order.dtype)
-    g_sorted = jnp.take(d_h_rows, jnp.concatenate([src_order, ext]),
-                        axis=0)
-    ids_sorted = jnp.take(senders, src_order, axis=0)
-    d_table = segment_sum_pallas_rows(
-        g_sorted, ids_sorted,
-        num_nodes if num_src_nodes is None else num_src_nodes,
-        eb=eb, nb=nb, interpret=interpret)
+    d_table = _dh_reduce(
+        d_h_rows, src_order, senders, e, eb,
+        num_nodes if num_src_nodes is None else num_src_nodes, interpret)
     d_h_flat = d_table[:, :nh * f]
     d_a_src = d_apad[:nh * f, :nh]
     d_s_dst = d_sdst_t[:nh].T[:num_nodes]
@@ -1618,12 +1636,8 @@ def _fgta_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret, res, g):
         h_src, meta, a_pad, s_dst, scalar, receivers, e_real, g, out,
         denom, num_nodes, nh, f, eps=eps, slope=slope, eb=eb, nb=nb,
         with_dropout=with_dropout, interpret=interpret, sweep1=sweep1)
-    ext = jnp.arange(e, e + eb, dtype=src_order.dtype)
-    g_sorted = jnp.take(d_h_rows, jnp.concatenate([src_order, ext]),
-                        axis=0)
-    ids_sorted = jnp.take(senders, src_order, axis=0)
-    d_table = segment_sum_pallas_rows(g_sorted, ids_sorted, num_nodes,
-                                      eb=eb, nb=nb, interpret=interpret)
+    d_table = _dh_reduce(d_h_rows, src_order, senders, e, eb,
+                         num_nodes, interpret)
     d_h_flat = d_table[:, :nh * f]
     d_a_src = d_apad[:nh * f, :nh]
     d_s_dst = d_sdst_t[:nh].T[:num_nodes]
@@ -1719,16 +1733,12 @@ def _v5sp_bwd(num_nodes, nh, f, eps, slope, eb, nb, interpret,
         jnp.zeros_like(d_num), d_den, num_nodes, nh, f, eps=eps,
         slope=slope, eb=eb, nb=nb, with_dropout=with_dropout,
         interpret=interpret, sweep1=True, normalize=False)
-    ext = jnp.arange(e, e + eb, dtype=src_order.dtype)
-    g_sorted = jnp.take(d_h_rows, jnp.concatenate([src_order, ext]),
-                        axis=0)
-    ids_sorted = jnp.take(senders, src_order, axis=0)
     # senders index the (possibly replicated GLOBAL) h table; dst rows
     # are num_nodes (possibly shard-local) — same split as
     # fused_gat_table's num_src_nodes
     n_src = num_src_nodes if num_src_nodes is not None else num_nodes
-    d_table = segment_sum_pallas_rows(g_sorted, ids_sorted, n_src,
-                                      eb=eb, nb=nb, interpret=interpret)
+    d_table = _dh_reduce(d_h_rows, src_order, senders, e, eb, n_src,
+                         interpret)
     d_h_flat = d_table[:, :nh * f]
     d_a_src = d_apad[:nh * f, :nh]
     d_s_dst = d_sdst_t[:nh].T[:num_nodes]
