@@ -43,15 +43,14 @@ import time
 
 import numpy as np
 
-# Measured via `python bench.py --measure_baseline` on the v5e chip
-# (round-3 second pass with bf16 GEMM + v10 era, inner=400: 7.2125e6;
-# round-4 re-measure at inner=100: 7.0872e6 — the shorter scan pays
-# more dispatch overhead, so the committed inner=400 value stays as
-# the conservative divisor; round 4 on the RCM-reordered Cora graph:
-# 7.1991e6; round 3 with the rbg dropout chain: 7.1296e6; round 2:
-# 7.0757e6; round 1: 7.09e6 — consistent re-measures, the baseline
-# step is segment-op-bound so none of the model-side speedups move it).
-XLA_BASELINE_EDGES_PER_S = 7.2125e6
+# Measured via `python bench.py --measure_baseline` on the v5e chip.
+# Round-5 re-measure at inner=400 (VERDICT r4 hygiene): 7.1865e6 —
+# committed below. History: round-3 value 7.2125e6 (inner=400);
+# round-4 re-measures 7.0872e6 (inner=100) / 7.1991e6 (RCM Cora);
+# round 2: 7.0757e6; round 1: 7.09e6 — consistent across rounds, the
+# baseline step is segment-op-bound so model-side speedups don't move
+# it. Refresh each round at inner=400 so vs_baseline stays honest.
+XLA_BASELINE_EDGES_PER_S = 7.1865e6
 
 
 def hbm_bandwidth_bytes_per_s() -> float:
@@ -385,7 +384,8 @@ def main() -> None:
         "vs_baseline": round(edges_per_s / baseline, 4),
         "baseline_edges_per_s": baseline,
         "baseline_source": "env:GAT_TPU_XLA_BASELINE" if env_base
-        else "committed (bench.py --measure_baseline, round-3 session)",
+        else "committed (bench.py --measure_baseline, round-5 session, "
+             "inner=400)",
         "sol_fraction": round(edges_per_s / sol, 4),
         "sol_tile": round(edges_per_s / roofline_tile_edges_per_s(
             n_real, e_real, cfg), 4),
@@ -437,6 +437,20 @@ def main() -> None:
         # denominator is the payload roofline itself (no tile-tax floor)
         out["banded_sol_fraction"] = round(
             eps3 / roofline_edges_per_s(n3, e3, cfg3), 4)
+
+        # community-SBM workload (round 5): the hybrid split-locality
+        # domain — the fifth locality class in the official line
+        cfg4, graph4, task4, lr4, l24 = clustered_workload()
+        dt4 = measure_train_step(cfg4, graph4, task4, lr4, l24,
+                                 s_inner, s_iters)
+        e4 = int(np.asarray(graph4.edge_mask).sum())
+        n4 = int(np.asarray(graph4.node_mask).sum())
+        eps4 = cfg4.num_layers * e4 / dt4
+        out["clustered_edges_per_s"] = round(eps4, 1)
+        out["clustered_sol_fraction"] = round(
+            eps4 / roofline_edges_per_s(n4, e4, cfg4), 4)
+        out["clustered_sol_tile"] = round(
+            eps4 / roofline_tile_edges_per_s(n4, e4, cfg4), 4)
 
     print(json.dumps(out))
 

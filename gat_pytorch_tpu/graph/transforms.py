@@ -263,9 +263,16 @@ def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
     # explicit size is given and the graph is small, build both
     # candidate layouts (host-side, one-time, cheap at this size) and
     # keep the one with the smaller slot-weighted row cost.
-    explicit = (nb is not None or eb is not None
-                or "GAT_TPU_V7_NB" in os.environ
-                or "GAT_TPU_V7_EB" in os.environ)
+    # Round 5 extends the auto choice to nb: the round-4 Pubmed-fitted
+    # cost model  slots x (nb + wb + K)  already ranked banded-5M's
+    # nb=256 over the old fixed 512 (measured on-chip +17.6%, 64.6 ->
+    # 55.0 ms/step — the dst one-hot is a pure per-edge nb cost and at
+    # eb=1024 wb/slots barely move), so auto mode now builds candidate
+    # layouts over nb in {256, 512} at ANY size (a 5M-edge build is
+    # ~1.5 s host-side, one-time) and over eb in {eb, eb/2} for small
+    # graphs (the round-3 Cora rule), picking the cost-model minimum.
+    explicit_nb = nb is not None or "GAT_TPU_V7_NB" in os.environ
+    explicit_eb = eb is not None or "GAT_TPU_V7_EB" in os.environ
     nb = nb or int(os.environ.get("GAT_TPU_V7_NB", "512"))
     eb = eb or int(os.environ.get("GAT_TPU_V7_EB", "1024"))
     if nb % 128 or eb % 128:
@@ -273,14 +280,21 @@ def compute_block_layout(senders: np.ndarray, receivers: np.ndarray,
                          f"got nb={nb} eb={eb}")
     small = num_real_edges <= int(
         os.environ.get("GAT_TPU_V7_AUTOEB_MAX_E", "500000"))
-    if not explicit and small and eb > 128:
-        a = compute_block_layout(senders, receivers, num_real_edges,
-                                 n_pad, nb=nb, eb=eb, n_src=n_src)
-        b = compute_block_layout(senders, receivers, num_real_edges,
-                                 n_pad, nb=nb, eb=eb // 2, n_src=n_src)
-        cost_a = a.send.shape[0] * (a.nb + a.wb)
-        cost_b = b.send.shape[0] * (b.nb + b.wb)
-        return b if cost_b < cost_a else a
+    nb_cands = (nb,) if explicit_nb else (256, 512)
+    eb_cands = ((eb,) if (explicit_eb or not small or eb <= 128)
+                else (eb, eb // 2))
+    if len(nb_cands) * len(eb_cands) > 1:
+        cost_k = float(os.environ.get("GAT_TPU_V7_COST_K", "2560"))
+        best, best_cost = None, None
+        for nbx in nb_cands:
+            for ebx in eb_cands:
+                cand = compute_block_layout(
+                    senders, receivers, num_real_edges, n_pad,
+                    nb=nbx, eb=ebx, n_src=n_src)
+                cost = cand.send.shape[0] * (cand.nb + cand.wb + cost_k)
+                if best is None or cost < best_cost:
+                    best, best_cost = cand, cost
+        return best
 
     s = np.asarray(senders[:num_real_edges], dtype=np.int64)
     r = np.asarray(receivers[:num_real_edges], dtype=np.int64)

@@ -23,12 +23,26 @@ def adam_l2(learning_rate: float, weight_decay: float = 0.0,
             eps: float = 1e-8) -> optax.GradientTransformation:
     """torch.optim.Adam(lr, weight_decay) equivalent. Wrapped in
     `inject_hyperparams` so `opt_state.hyperparams['learning_rate']` can be
-    mutated between steps (plateau scheduler) without retracing."""
+    mutated between steps (plateau scheduler) without retracing.
+
+    The inner chain runs under optax.flatten: params/grads are raveled
+    into ONE vector so the whole Adam update is a single fused
+    elementwise pass instead of one XLA fusion chain per leaf — the
+    reference models are tiny (Cora ~90k params over 4 leaves) and the
+    scanned train step is small-op-tail bound there (docs/PERF.md
+    round-4 closing profile: ~57 us of a 204.7 us device step).
+    Bit-identical math (Adam is elementwise). GAT_TPU_FLAT_OPT=0
+    reverts."""
+    import os
+
     def make_lr(learning_rate):
         tx = [optax.add_decayed_weights(weight_decay)] if weight_decay else []
         tx += [optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
                optax.scale_by_learning_rate(learning_rate)]
-        return optax.chain(*tx)
+        chain = optax.chain(*tx)
+        if os.environ.get("GAT_TPU_FLAT_OPT", "1") != "0":
+            chain = optax.flatten(chain)
+        return chain
 
     return optax.inject_hyperparams(make_lr)(learning_rate=learning_rate)
 
