@@ -141,10 +141,29 @@ def _shard_block_layouts(out_s, out_r, out_m, k: int, eps: int,
 
     from ..graph.transforms import compute_block_layout
     from ..graph.transforms import compute_hybrid_layout
+    explicit_nb = nb is not None or "GAT_TPU_V7_NB" in os.environ
     nb = nb or int(os.environ.get("GAT_TPU_V7_NB", "512"))
     eb = eb or int(os.environ.get(
         "GAT_TPU_V7_HYBRID_EB" if hybrid else "GAT_TPU_V7_EB",
         "256" if hybrid else "1024"))
+    if not explicit_nb and not hybrid:
+        # pick ONE nb for all shards by the same measured cost model as
+        # the single-device auto chooser (round 5: banded-5M nb=256
+        # measured +17.6% single-device and 1.03x-of-unsharded when
+        # applied per shard), evaluated on shard 0 — shard layouts must
+        # share statics, so the choice is global, not per shard
+        from ..graph.transforms import compute_block_layout as _cbl
+        cost_k = float(os.environ.get("GAT_TPU_V7_COST_K", "2560"))
+        m0 = out_m[:eps]
+        c0 = int(m0.sum())
+        best = None
+        for nbx in (256, 512):
+            bl0 = _cbl(out_s[:eps][:c0], out_r[:eps][:c0], c0, rows,
+                       nb=nbx, eb=eb, n_src=n)
+            cost = bl0.send.shape[0] * (nbx + bl0.wb + cost_k)
+            if best is None or cost < best[0]:
+                best = (cost, nbx)
+        nb = best[1]
     layouts = []
     for j in range(k):
         sl = slice(j * eps, (j + 1) * eps)

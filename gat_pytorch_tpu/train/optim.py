@@ -25,14 +25,14 @@ def adam_l2(learning_rate: float, weight_decay: float = 0.0,
     `inject_hyperparams` so `opt_state.hyperparams['learning_rate']` can be
     mutated between steps (plateau scheduler) without retracing.
 
-    The inner chain runs under optax.flatten: params/grads are raveled
-    into ONE vector so the whole Adam update is a single fused
-    elementwise pass instead of one XLA fusion chain per leaf — the
-    reference models are tiny (Cora ~90k params over 4 leaves) and the
-    scanned train step is small-op-tail bound there (docs/PERF.md
-    round-4 closing profile: ~57 us of a 204.7 us device step).
-    Bit-identical math (Adam is elementwise). GAT_TPU_FLAT_OPT=0
-    reverts."""
+    GAT_TPU_FLAT_OPT=1 runs the inner chain under optax.flatten
+    (params/grads raveled into ONE vector -> a single fused elementwise
+    update; bit-identical math). Measured round 5: the DEVICE step gets
+    faster (Cora scanned body 204.7 -> 188.9 us profiled) but the WALL
+    step gets ~6% SLOWER (107.9M vs 114.3M edges/s, same session A/B) —
+    the ravel/unravel around the scan carry costs more end-to-end than
+    the fused update saves. Default OFF; the knob stays for re-probing
+    on future toolchains."""
     import os
 
     def make_lr(learning_rate):
@@ -40,7 +40,7 @@ def adam_l2(learning_rate: float, weight_decay: float = 0.0,
         tx += [optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
                optax.scale_by_learning_rate(learning_rate)]
         chain = optax.chain(*tx)
-        if os.environ.get("GAT_TPU_FLAT_OPT", "1") != "0":
+        if os.environ.get("GAT_TPU_FLAT_OPT", "0") == "1":
             chain = optax.flatten(chain)
         return chain
 
