@@ -488,3 +488,60 @@ def test_v5_return_attention_parity(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(b) / scale, np.asarray(a) / scale, rtol=0,
             atol=5e-5, err_msg=jax.tree_util.keystr(path))
+
+
+def test_hybrid_return_attention_parity(monkeypatch):
+    """The single-device HYBRID branch (v7 windows + v5 remainder) with
+    return_attention: kernel aggregation + alpha replica must match the
+    XLA path (values and lambda=1.0 gradients)."""
+    rng = np.random.default_rng(77)
+    n, comm, deg = 192, 6, 5
+    e = n * deg
+    labels = rng.integers(0, comm, n)
+    members = [np.where(labels == c)[0] for c in range(comm)]
+    s = rng.integers(0, n, e)
+    r = np.empty(e, np.int64)
+    same = rng.random(e) < 0.9
+    r[~same] = rng.integers(0, n, int((~same).sum()))
+    for c in range(comm):
+        pick = same & (labels[s] == c)
+        r[pick] = members[c][rng.integers(0, len(members[c]),
+                                          int(pick.sum()))]
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    # cap the hybrid window below the node range so a remainder exists
+    # at this tiny size (production graphs get it from scale)
+    monkeypatch.setenv("GAT_TPU_HYBRID_MAX_W", "128")
+    graph = T.canonicalize(x, s, r, reorder="cluster", src_windows=True,
+                           hybrid=True)
+    bl = graph.block_layout
+    assert bl.rem_send is not None and bl.rem_e > 0, \
+        "hybrid layout must carry a remainder for this test"
+
+    cfg = gat.GATConfig(
+        num_input_node_features=12, num_layers=2,
+        num_heads_per_layer=[4, 1], heads_concat_per_layer=[True, False],
+        head_output_features_per_layer=[12, 8, 5], num_classes=5,
+        add_skip_connection=[False, False], dropout=0.0)
+    params = gat.init_gat_model(jax.random.key(7), cfg)
+    nmask = np.asarray(graph.node_mask)
+    monkeypatch.setenv("GAT_TPU_V6_DTYPE", "float32")
+
+    def loss(p, backend, fw=None):
+        out, att = gat.gat_model_apply(p, cfg, graph, backend=backend,
+                                       return_attention=True,
+                                       force_windowed=fw)
+        norm = gat.calc_attention_norm(graph, att)
+        return jnp.sum(out[nmask] ** 2) * 1e-3 + 1.0 * norm
+
+    l_x, g_x = jax.value_and_grad(loss)(params, "xla")
+    gat.PATH_TRACE.clear()
+    l_p, g_p = jax.value_and_grad(loss)(params, "pallas", True)
+    assert "v7_hybrid" in gat.PATH_TRACE, gat.PATH_TRACE
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_x),
+            jax.tree_util.tree_leaves_with_path(g_p)):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, rtol=0,
+            atol=5e-5, err_msg=jax.tree_util.keystr(path))
