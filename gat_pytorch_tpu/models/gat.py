@@ -710,12 +710,14 @@ def gat_layer_apply(params: Params,
         # nhf=1024) keep the smaller blocks to bound VMEM double-buffers.
         # eb=1024 wedges the v5e — never raise past 512.
         nhfl = ((nh * f + 127) // 128) * 128
-        v5_eb, v5_nb = (512, 256) if nhfl <= 512 else (256, 128)
-        if nhfl <= 512 and E <= 500_000:
-            # small graphs: fewer/wider dst tiles measured +3.3% on the
-            # Pubmed-shaped step (512/512 vs 512/256, round-3 probe);
-            # the 5M-edge scale sizes are untouched
-            v5_nb = 512
+        # narrow rows (nhfl <= 512): eb=512 with WIDE (512) dst tiles —
+        # measured +3.3% on Pubmed-shaped (round-3 probe) and +1.5% on
+        # the 5M-edge scale step (round-5 same-session A/B, 226.4 ->
+        # 223.1 ms): fewer/wider tiles amortise per-block fixed costs,
+        # the same direction as the round-5 windowed nb finding. Wide
+        # rows (PPI's nhf=1024) keep small blocks to bound VMEM
+        # double-buffers; eb=1024 wedges the v5e — never raise past 512.
+        v5_eb, v5_nb = (512, 512) if nhfl <= 512 else (256, 128)
         v5_eb = int(_os.environ.get("GAT_TPU_V5_EB", v5_eb))
         v5_nb = int(_os.environ.get("GAT_TPU_V5_NB", v5_nb))
         out = fsa.fused_gat_table_autocap(
