@@ -164,3 +164,46 @@ def test_fit_uses_prefetch_for_multibatch_epochs(monkeypatch):
     val = batcher.epoch(999)[:1]
     tr.fit(batcher.epoch(0), val, reshuffle=batcher.epoch)
     assert calls, "fit() never constructed a PrefetchIterator"
+
+
+def test_fit_sharded_prefetches_epoch_groups(monkeypatch):
+    """fit_sharded must build epoch e+1's groups in the feed thread
+    while epoch e trains (put=False — groups carry NamedShardings)."""
+    import jax
+
+    from gat_pytorch_tpu import parallel
+    from gat_pytorch_tpu.data import prefetch as PF
+    from gat_pytorch_tpu.graph import transforms as T
+
+    calls = []
+    orig = PF.PrefetchIterator
+
+    class Spy(orig):
+        def __init__(self, *a, **kw):
+            calls.append(kw.get("put", True))
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(PF, "PrefetchIterator", Spy)
+
+    rng = np.random.default_rng(11)
+    graphs = []
+    for i in range(4):
+        n = 24
+        s = np.repeat(np.arange(n), 3)
+        r = rng.integers(0, n, n * 3)
+        x = rng.normal(size=(n, 8)).astype(np.float32)
+        y = (rng.random((n, 4)) > 0.5).astype(np.float32)
+        graphs.append(T.canonicalize(x, s, r, y=y, node_bucket=32,
+                                     edge_bucket=128, pad_multiple=32))
+    mesh = parallel.make_mesh(data=2, edge=2, devices=jax.devices()[:4])
+    cfg = gat.GATConfig(
+        num_input_node_features=8, num_layers=1,
+        num_heads_per_layer=[2], heads_concat_per_layer=[True],
+        head_output_features_per_layer=[8, 2], num_classes=4,
+        add_skip_connection=[False], dropout=0.0)
+    tr = Trainer(cfg=cfg, task=make_task("PPI"), learning_rate=1e-2,
+                 max_epochs=3, patience=100, seed=0)
+    res = tr.fit_sharded(mesh, graphs, graphs[:2])
+    assert len(res.history) == 3
+    assert calls and calls[0] is False, \
+        "fit_sharded must prefetch with put=False"
